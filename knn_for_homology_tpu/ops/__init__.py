@@ -1,0 +1,13 @@
+from .distance import l2_normalize, similarity_block, finalize_scores, METRICS
+from .topk import streaming_topk
+from .flat_pallas import pallas_flat_topk, MAX_PALLAS_K
+
+__all__ = [
+    "l2_normalize",
+    "similarity_block",
+    "finalize_scores",
+    "METRICS",
+    "streaming_topk",
+    "pallas_flat_topk",
+    "MAX_PALLAS_K",
+]

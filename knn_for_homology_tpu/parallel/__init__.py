@@ -1,0 +1,13 @@
+from .mesh import make_mesh, DATA_AXIS, MODEL_AXIS, replicated, row_sharded
+from .sharded import db_sharded_topk, query_sharded_topk, sharded_search
+
+__all__ = [
+    "make_mesh",
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "replicated",
+    "row_sharded",
+    "db_sharded_topk",
+    "query_sharded_topk",
+    "sharded_search",
+]

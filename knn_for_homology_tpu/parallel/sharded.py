@@ -1,0 +1,139 @@
+"""Sharded exact search over a device mesh.
+
+Two SPMD layouts (SURVEY.md §2 "sharded search / index parallelism"):
+
+  * db-sharded    — database rows split across chips (each shard HBM-resident),
+                    queries replicated. Each chip runs the local fused top-k,
+                    then the k-winner sets are all-gathered over ICI and
+                    merged with one small top-k. Communication is O(k·Q) —
+                    independent of database size.
+  * query-sharded — queries split across chips, database replicated. No merge
+                    needed; right when the database is small and Q is large.
+
+Both produce *global* database row ids identical to the single-device path,
+which is the acceptance criterion (SURVEY.md §4: sharded goldens must match
+bit-identically).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.topk import streaming_topk
+from .mesh import DATA_AXIS
+
+
+def _pad_rows_np(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    rem = (-x.shape[0]) % multiple
+    if rem == 0:
+        return x
+    return jnp.pad(x, ((0, rem), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "mesh", "db_tile", "approx")
+)
+def db_sharded_topk(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    db_tile: int = 8192,
+    approx: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k with the database sharded over the mesh's data axis.
+
+    db [N, d] (padded internally to a multiple of the axis size; padded rows
+    lose with -inf), queries [Q, d] replicated. Returns global
+    (sims [Q, k] desc, ids [Q, k]) equal to the single-device result.
+    """
+    n = db.shape[0]
+    n_shards = mesh.shape[DATA_AXIS]
+    db_p = _pad_rows_np(db, n_shards)
+    shard_rows = db_p.shape[0] // n_shards
+
+    def local(db_shard, q):
+        shard_idx = jax.lax.axis_index(DATA_AXIS)
+        row0 = shard_idx * shard_rows
+        # local exact top-k; mask padded rows via global-id bound
+        sims, ids = streaming_topk(
+            db_shard,
+            q,
+            min(k, shard_rows),
+            metric=metric,
+            db_tile=min(db_tile, shard_rows),
+            approx=approx,
+        )
+        gids = jnp.where(ids >= 0, ids + row0, -1)
+        valid = (gids >= 0) & (gids < n)
+        sims = jnp.where(valid, sims, -jnp.inf)
+        gids = jnp.where(valid, gids, -1)
+        # gather every shard's winner set and merge
+        all_sims = jax.lax.all_gather(sims, DATA_AXIS, axis=0, tiled=False)
+        all_ids = jax.lax.all_gather(gids, DATA_AXIS, axis=0, tiled=False)
+        cand_sims = jnp.swapaxes(all_sims, 0, 1).reshape(q.shape[0], -1)
+        cand_ids = jnp.swapaxes(all_ids, 0, 1).reshape(q.shape[0], -1)
+        vals, sel = jax.lax.top_k(cand_sims, k)
+        return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(db_p, queries)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "mesh", "db_tile", "approx")
+)
+def query_sharded_topk(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    db_tile: int = 8192,
+    approx: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k with queries sharded, database replicated. Q is padded to the
+    axis size; padded query rows are dropped before returning."""
+    q_n = queries.shape[0]
+    n_shards = mesh.shape[DATA_AXIS]
+    q_p = _pad_rows_np(queries, n_shards)
+
+    def local(db_rep, q_shard):
+        return streaming_topk(
+            db_rep, q_shard, k, metric=metric, db_tile=db_tile, approx=approx
+        )
+
+    sims, ids = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )(db, q_p)
+    return sims[:q_n], ids[:q_n]
+
+
+def sharded_search(
+    db,
+    queries,
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    layout: str = "auto",
+    **kw,
+):
+    """Pick a layout: shard whichever side is large. Returns (sims, ids)."""
+    if layout == "auto":
+        layout = "db" if db.shape[0] >= queries.shape[0] else "query"
+    fn = db_sharded_topk if layout == "db" else query_sharded_topk
+    return fn(jnp.asarray(db), jnp.asarray(queries), k, mesh, metric=metric, **kw)

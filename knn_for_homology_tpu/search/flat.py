@@ -1,0 +1,148 @@
+"""Exact flat index — the FAISS IndexFlat replacement, HBM-resident.
+
+API mirrors the search semantics the reference drives through FAISS:
+  * ``knn_search`` ↔ ``faiss_search`` (reference: seqvec_search/main.py:22-50):
+    cosine pre-normalisation of queries+database, k hits, wall time.
+  * ``FlatIndex.search_self`` ↔ all-vs-all with self-hit stripping
+    (reference: cath/search.py:13-26): ask k+1, drop the first column.
+  * fp16/bf16 inputs are cast to fp32 before search
+    (reference: cath/search.py:39-40).
+
+Backends:
+  * "pallas" — fused distance+top-k kernel (ops/flat_pallas.py), k ≤ 32, TPU
+  * "xla"    — streaming scan+top_k merge (ops/topk.py), any k, any platform
+  * "approx" — streaming scan with jax.lax.approx_max_k (TPU-KNN style)
+"""
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_HITS, SearchConfig
+from ..ops.distance import METRICS, finalize_scores, l2_normalize
+from ..ops.flat_pallas import MAX_PALLAS_K, pallas_flat_topk
+from ..ops.topk import streaming_topk
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pick_backend(backend: str, k: int) -> str:
+    if backend != "auto":
+        return backend
+    if k <= MAX_PALLAS_K and _on_tpu():
+        return "pallas"
+    return "xla"
+
+
+class FlatIndex:
+    """Exact brute-force index over device-resident vectors."""
+
+    def __init__(
+        self,
+        metric: str = "cosine",
+        config: Optional[SearchConfig] = None,
+        backend: str = "auto",
+    ):
+        if metric not in METRICS:
+            raise ValueError(f"metric must be one of {METRICS}")
+        self.metric = metric
+        self.config = config or SearchConfig(metric=metric)
+        self.backend = backend
+        self._db: Optional[jnp.ndarray] = None
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._db is None else self._db.shape[0]
+
+    @property
+    def dim(self) -> Optional[int]:
+        return None if self._db is None else self._db.shape[1]
+
+    def add(self, vectors: np.ndarray) -> "FlatIndex":
+        """Install database vectors (cast→fp32; cosine: normalised once here,
+        not per query — the FAISS path re-normalises on every search)."""
+        v = jnp.asarray(np.asarray(vectors), dtype=jnp.float32)
+        if self.metric == "cosine":
+            v = l2_normalize(v)
+        new = v if self._db is None else jnp.concatenate([self._db, v], axis=0)
+        self._db = jax.device_put(new)
+        return self
+
+    def _prep_queries(self, queries: np.ndarray) -> jnp.ndarray:
+        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        return q
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores [Q, k], ids [Q, k]) in the FAISS convention:
+        cosine/ip descending inner products; l2 ascending squared distances;
+        missing hits are id -1."""
+        if self._db is None:
+            raise ValueError("index is empty; call add() first")
+        q = self._prep_queries(queries)
+        backend = _pick_backend(self.backend, k)
+        if backend == "pallas":
+            sims, ids = pallas_flat_topk(
+                self._db,
+                q,
+                k,
+                metric=self.metric,
+                db_tile=self.config.db_tile // 8,
+                query_block=self.config.query_block // 4,
+            )
+        elif backend == "approx":
+            sims, ids = streaming_topk(
+                self._db,
+                q,
+                k,
+                metric=self.metric,
+                db_tile=self.config.db_tile,
+                approx=True,
+                recall_target=self.config.recall_target,
+            )
+        else:
+            sims, ids = streaming_topk(
+                self._db, q, k, metric=self.metric, db_tile=self.config.db_tile
+            )
+        scores = finalize_scores(sims, self.metric)
+        return np.asarray(scores), np.asarray(ids)
+
+    def search_self(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """All-vs-all with self-hit stripping: ask k+1, drop column 0
+        (reference: cath/search.py:13-26). Returns (ids, scores) — note the
+        reference's search() returns (results, scores) in this order."""
+        scores, ids = self.search(np.asarray(self._db), k + 1)
+        return ids[:, 1:], scores[:, 1:]
+
+
+def knn_search(
+    haystack: np.ndarray,
+    queries: np.ndarray,
+    hits: int = DEFAULT_HITS,
+    metric: str = "cosine",
+    backend: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Drop-in analogue of the reference's ``faiss_search``
+    (reference: seqvec_search/main.py:22-50): returns (ids, scores, seconds).
+
+    ``haystack`` may be a raw [N, d] array or a prebuilt index object with a
+    compatible ``search`` method (FlatIndex / LSHIndex / GraphIndex).
+    """
+    start = time.time()
+    if hasattr(haystack, "search"):
+        index = haystack
+    else:
+        index = FlatIndex(metric=metric, backend=backend).add(haystack)
+    scores, ids = index.search(np.asarray(queries), hits)
+    return ids, scores, time.time() - start

@@ -1,0 +1,55 @@
+"""Sharded search must reproduce the single-device neighbour lists
+bit-identically (SURVEY.md §4: the distributed tests the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.ops.topk import streaming_topk
+from knn_for_homology_tpu.parallel import (
+    db_sharded_topk,
+    make_mesh,
+    query_sharded_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must force 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+def test_db_sharded_matches_single_device(mesh8, metric):
+    rng = np.random.RandomState(11)
+    db = rng.randn(530, 64).astype(np.float32)
+    q = rng.randn(37, 64).astype(np.float32)
+    if metric == "cosine":
+        db = db / np.linalg.norm(db, axis=1, keepdims=True)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref_sims, ref_ids = streaming_topk(jnp.asarray(db), jnp.asarray(q), 13, metric)
+    sims, ids = db_sharded_topk(jnp.asarray(db), jnp.asarray(q), 13, mesh8, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims), rtol=1e-6)
+
+
+def test_query_sharded_matches_single_device(mesh8):
+    rng = np.random.RandomState(12)
+    db = rng.randn(200, 32).astype(np.float32)
+    q = rng.randn(99, 32).astype(np.float32)  # not divisible by 8
+    ref_sims, ref_ids = streaming_topk(jnp.asarray(db), jnp.asarray(q), 7, "ip")
+    sims, ids = query_sharded_topk(jnp.asarray(db), jnp.asarray(q), 7, mesh8, metric="ip")
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims), rtol=1e-6)
+
+
+def test_db_sharded_uneven_rows(mesh8):
+    # N not divisible by the axis size: padded rows must never win
+    rng = np.random.RandomState(13)
+    db = rng.randn(101, 16).astype(np.float32)
+    q = rng.randn(9, 16).astype(np.float32)
+    ref_sims, ref_ids = streaming_topk(jnp.asarray(db), jnp.asarray(q), 5, "ip")
+    sims, ids = db_sharded_topk(jnp.asarray(db), jnp.asarray(q), 5, mesh8, metric="ip")
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    assert np.all(np.asarray(ids) < 101)
