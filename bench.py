@@ -36,7 +36,12 @@ def main() -> None:
         choices=["bfloat16", "float32"],
         help="embedding storage dtype (bf16 matmuls accumulate fp32 on MXU)",
     )
-    parser.add_argument("--approx", action="store_true")
+    parser.add_argument(
+        "--exact",
+        action="store_true",
+        help="exact top-k (default: approx_max_k, apples-to-apples with the"
+        " approximate HNSW baseline; recall vs exact is measured+reported)",
+    )
     parser.add_argument(
         "--quick", action="store_true", help="tiny smoke-test shapes (CPU ok)"
     )
@@ -45,12 +50,13 @@ def main() -> None:
     if args.quick:
         args.n, args.d, args.k, args.db_tile, args.q_block = 2048, 128, 100, 512, 512
     args.n -= args.n % args.q_block  # whole query blocks only
+    args.approx = not args.exact
 
     import jax
     import jax.numpy as jnp
 
     from knn_for_homology_tpu.ops.distance import l2_normalize
-    from knn_for_homology_tpu.ops.topk import streaming_topk
+    from knn_for_homology_tpu.ops.topk import flat_topk
 
     rng = np.random.RandomState(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -60,25 +66,40 @@ def main() -> None:
     del db_host
 
     def run():
-        out_ids = []
-        for start in range(0, args.n, args.q_block):
-            q = jax.lax.dynamic_slice_in_dim(db, start, args.q_block, axis=0)
-            sims, ids = streaming_topk(
-                db,
-                q,
-                args.k,
-                metric="ip",  # rows already normalised → cosine
-                db_tile=args.db_tile,
-                approx=args.approx,
-            )
-            out_ids.append(ids)
-        jax.block_until_ready(out_ids)
-        return out_ids
+        sims, ids = flat_topk(
+            db,
+            db,  # all-vs-all: rows already normalised → cosine via ip
+            args.k,
+            metric="ip",
+            db_tile=args.db_tile,
+            query_block=args.q_block,
+            approx=args.approx,
+        )
+        jax.block_until_ready(ids)
+        # tiny fetch forces full sync even if block_until_ready is lazy
+        np.asarray(ids[:1, :1])
+        return ids
 
     run()  # warmup + compile
     start = time.time()
-    run()
+    ids = run()
     seconds = time.time() - start
+
+    recall = None
+    if args.approx:
+        # recall vs exact top-k on a query subsample
+        sub = min(2048, args.n)
+        _, exact_ids = flat_topk(db, db[:sub], args.k, metric="ip")
+        got = np.asarray(ids[:sub])
+        want = np.asarray(exact_ids)
+        recall = float(
+            np.mean(
+                [
+                    len(set(a.tolist()) & set(b.tolist())) / args.k
+                    for a, b in zip(got, want)
+                ]
+            )
+        )
 
     qps = args.n / seconds
     reference_seconds = 77.0  # FAISS HNSW, all queries, k=1000 (BASELINE.md)
@@ -90,6 +111,8 @@ def main() -> None:
         "unit": "queries/s",
         "vs_baseline": round(qps / reference_qps, 2),
     }
+    if recall is not None:
+        result["recall_vs_exact"] = round(recall, 4)
     print(json.dumps(result))
 
 

@@ -23,8 +23,18 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.topk import streaming_topk
+from ..ops.topk import ONESHOT_SIM_BYTES, oneshot_topk, streaming_topk
 from .mesh import DATA_AXIS
+
+
+def _local_topk(db_shard, q, k, metric, db_tile, approx):
+    """Trace-time strategy pick for the shard-local search (see ops/topk.py:
+    one-shot is much faster whenever the [Q, shard] block fits)."""
+    if q.shape[0] * db_shard.shape[0] * 4 <= ONESHOT_SIM_BYTES:
+        return oneshot_topk(db_shard, q, k, metric=metric, approx=approx)
+    return streaming_topk(
+        db_shard, q, k, metric=metric, db_tile=db_tile, approx=approx
+    )
 
 
 def _pad_rows_np(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -60,14 +70,10 @@ def db_sharded_topk(
     def local(db_shard, q):
         shard_idx = jax.lax.axis_index(DATA_AXIS)
         row0 = shard_idx * shard_rows
-        # local exact top-k; mask padded rows via global-id bound
-        sims, ids = streaming_topk(
-            db_shard,
-            q,
-            min(k, shard_rows),
-            metric=metric,
-            db_tile=min(db_tile, shard_rows),
-            approx=approx,
+        # local top-k; mask padded rows via global-id bound
+        sims, ids = _local_topk(
+            db_shard, q, min(k, shard_rows), metric,
+            min(db_tile, shard_rows), approx,
         )
         gids = jnp.where(ids >= 0, ids + row0, -1)
         valid = (gids >= 0) & (gids < n)
@@ -109,9 +115,7 @@ def query_sharded_topk(
     q_p = _pad_rows_np(queries, n_shards)
 
     def local(db_rep, q_shard):
-        return streaming_topk(
-            db_rep, q_shard, k, metric=metric, db_tile=db_tile, approx=approx
-        )
+        return _local_topk(db_rep, q_shard, k, metric, db_tile, approx)
 
     sims, ids = shard_map(
         local,

@@ -24,7 +24,7 @@ import numpy as np
 from ..config import DEFAULT_HITS, SearchConfig
 from ..ops.distance import METRICS, finalize_scores, l2_normalize
 from ..ops.flat_pallas import MAX_PALLAS_K, pallas_flat_topk
-from ..ops.topk import streaming_topk
+from ..ops.topk import flat_topk
 
 
 def _on_tpu() -> bool:
@@ -101,22 +101,37 @@ class FlatIndex:
                 db_tile=self.config.db_tile // 8,
                 query_block=self.config.query_block // 4,
             )
-        elif backend == "approx":
-            sims, ids = streaming_topk(
+        else:
+            sims, ids = flat_topk(
                 self._db,
                 q,
                 k,
                 metric=self.metric,
                 db_tile=self.config.db_tile,
-                approx=True,
+                approx=(backend == "approx"),
                 recall_target=self.config.recall_target,
-            )
-        else:
-            sims, ids = streaming_topk(
-                self._db, q, k, metric=self.metric, db_tile=self.config.db_tile
             )
         scores = finalize_scores(sims, self.metric)
         return np.asarray(scores), np.asarray(ids)
+
+    # --- persistence payload (see search/io.py) ---
+    def state(self) -> dict:
+        return {
+            "kind": "flat",
+            "metric": self.metric,
+            "vectors": np.asarray(self._db)
+            if self._db is not None
+            else np.zeros((0, 0), dtype=np.float32),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "FlatIndex":
+        index = cls(metric=str(state["metric"]))
+        vectors = state["vectors"]
+        if vectors.size:
+            # stored vectors are already normalised for cosine; install raw
+            index._db = jnp.asarray(vectors, dtype=jnp.float32)
+        return index
 
     def search_self(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """All-vs-all with self-hit stripping: ask k+1, drop column 0
