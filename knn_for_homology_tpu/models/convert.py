@@ -1,0 +1,301 @@
+"""Checkpoint conversion + native checkpoint format.
+
+The reference downloads PyTorch/CUDA weights through bio_embeddings
+(reference: cath/embed.py:12-29). Here the encoders are JAX; this module
+converts upstream checkpoints to our param pytrees once, then loads them
+from a flat .npz:
+
+  * HF ProtT5 (pytorch_model.bin / model.safetensors) → T5 params
+  * SeqVec ELMo (bilm-tf weights.hdf5 + options.json)  → ELMo params
+
+Conversion needs the upstream file present locally (no downloads here);
+loading the converted .npz needs only numpy.
+"""
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .t5 import T5Config
+
+# --- flat npz checkpoint format -----------------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for key, val in tree.items():
+            out.update(_flatten(val, f"{prefix}{key}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, val in enumerate(tree):
+            out.update(_flatten(val, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def save_params(params: Any, path: Path, meta: Dict[str, Any] = None) -> None:
+    flat = _flatten(params)
+    if meta:
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+    np.savez(path, **flat)
+    if Path(path).suffix != ".npz":
+        Path(str(path) + ".npz").replace(path)
+
+
+def load_params(path: Path) -> Tuple[Any, Dict[str, Any]]:
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    meta = {}
+    if "__meta__" in flat:
+        meta = json.loads(bytes(flat.pop("__meta__")).decode())
+    return _unflatten(flat), meta
+
+
+# --- HF ProtT5 → T5 params ------------------------------------------------------
+
+
+def _read_hf_state_dict(model_dir: Path) -> Dict[str, np.ndarray]:
+    model_dir = Path(model_dir)
+    safetensors = sorted(model_dir.glob("*.safetensors"))
+    if safetensors:
+        from safetensors.numpy import load_file
+
+        state: Dict[str, np.ndarray] = {}
+        for f in safetensors:
+            state.update(load_file(f))
+        return state
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(f"no checkpoint files in {model_dir}")
+    import torch
+
+    state = {}
+    for f in bins:
+        for key, val in torch.load(f, map_location="cpu").items():
+            state[key] = val.float().numpy()
+    return state
+
+
+def convert_t5_from_hf(
+    model_dir: Path, dtype=None
+) -> Tuple[T5Config, Any]:
+    """HF T5 encoder (e.g. Rostlab/prot_t5_xl_uniref50) → our pytree.
+
+    HF stores projection weights as [out, in]; our einsums use [in, out],
+    so every matrix is transposed on the way in.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    sd = _read_hf_state_dict(model_dir)
+    cfg_file = Path(model_dir) / "config.json"
+    hf = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    config = T5Config(
+        vocab_size=hf.get("vocab_size", 128),
+        d_model=hf.get("d_model", 1024),
+        d_kv=hf.get("d_kv", 128),
+        d_ff=hf.get("d_ff", 16384),
+        num_layers=hf.get("num_layers", 24),
+        num_heads=hf.get("num_heads", 32),
+        rel_buckets=hf.get("relative_attention_num_buckets", 32),
+        rel_max_distance=hf.get("relative_attention_max_distance", 128),
+        dtype=dtype,
+    )
+
+    def get(name):
+        key = name if name in sd else f"encoder.{name}"
+        return np.asarray(sd[key], dtype=np.float32)
+
+    def w(name):  # transpose torch [out, in] → [in, out]
+        return jnp.asarray(get(name).T, dtype=dtype)
+
+    layers = []
+    for i in range(config.num_layers):
+        base = f"encoder.block.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "ln": jnp.asarray(
+                        get(f"{base}.layer.0.layer_norm.weight"), dtype=dtype
+                    ),
+                    "q": w(f"{base}.layer.0.SelfAttention.q.weight"),
+                    "k": w(f"{base}.layer.0.SelfAttention.k.weight"),
+                    "v": w(f"{base}.layer.0.SelfAttention.v.weight"),
+                    "o": w(f"{base}.layer.0.SelfAttention.o.weight"),
+                },
+                "mlp": {
+                    "ln": jnp.asarray(
+                        get(f"{base}.layer.1.layer_norm.weight"), dtype=dtype
+                    ),
+                    "wi": w(f"{base}.layer.1.DenseReluDense.wi.weight"),
+                    "wo": w(f"{base}.layer.1.DenseReluDense.wo.weight"),
+                },
+            }
+        )
+    params = {
+        "embedding": jnp.asarray(get("shared.weight"), dtype=dtype),
+        "rel_embedding": jnp.asarray(
+            get(
+                "encoder.block.0.layer.0.SelfAttention"
+                ".relative_attention_bias.weight"
+            ),
+            dtype=dtype,
+        ),
+        "layers": layers,
+        "final_ln": jnp.asarray(
+            get("encoder.final_layer_norm.weight"), dtype=dtype
+        ),
+    }
+    return config, params
+
+
+def load_t5_checkpoint(path: Path):
+    """Load a converted .npz (or convert an HF directory in place)."""
+    import jax.numpy as jnp
+
+    path = Path(path)
+    if path.is_dir():
+        return convert_t5_from_hf(path)
+    params, meta = load_params(path)
+    config = T5Config(**{**meta.get("config", {}), "dtype": jnp.bfloat16})
+    return config, params
+
+
+# --- SeqVec ELMo (bilm-tf hdf5) → ELMo params -----------------------------------
+
+
+def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
+    """bilm-tf weights.hdf5 → our pytree. Gate order in bilm-tf is
+    [input, cell, forget, output] with +1 forget bias; ours is
+    [input, forget, cell, output] — columns are permuted on the way in."""
+    import h5py
+    import jax.numpy as jnp
+
+    from .elmo import ElmoConfig
+
+    options = json.loads(Path(options_file).read_text())
+    cnn = options["char_cnn"]
+    lstm = options["lstm"]
+    config = ElmoConfig(
+        char_embed_dim=cnn["embedding"]["dim"],
+        filters=tuple(tuple(f) for f in cnn["filters"]),
+        n_highway=cnn["n_highway"],
+        proj_dim=lstm["projection_dim"],
+        lstm_dim=lstm["dim"],
+        n_lstm_layers=lstm["n_layers"],
+        cell_clip=lstm.get("cell_clip", 3.0),
+        proj_clip=lstm.get("proj_clip", 3.0),
+    )
+
+    def reorder_gates(w, hidden):
+        # [.., 4H] bilm order i,g,f,o → ours i,f,g,o
+        i, g, f, o = np.split(w, 4, axis=-1)
+        return np.concatenate([i, f, g, o], axis=-1)
+
+    with h5py.File(weights_file, "r") as fp:
+        params = {
+            "char_embedding": jnp.asarray(
+                np.asarray(fp["char_embed"], dtype=np.float32)
+            ),
+            "convs": [
+                {
+                    "w": jnp.asarray(
+                        np.asarray(fp[f"CNN/W_cnn_{i}"], dtype=np.float32)[0]
+                    ),
+                    "b": jnp.asarray(
+                        np.asarray(fp[f"CNN/b_cnn_{i}"], dtype=np.float32)
+                    ),
+                }
+                for i in range(len(config.filters))
+            ],
+            "highways": [
+                {
+                    # bilm stores carry-gate weights; ours is a transform gate
+                    "w_gate": jnp.asarray(
+                        -np.asarray(
+                            fp[f"CNN_high_{i}/W_carry"], dtype=np.float32
+                        ).T
+                    ),
+                    "b_gate": jnp.asarray(
+                        -np.asarray(fp[f"CNN_high_{i}/b_carry"], dtype=np.float32)
+                    ),
+                    "w_lin": jnp.asarray(
+                        np.asarray(
+                            fp[f"CNN_high_{i}/W_transform"], dtype=np.float32
+                        ).T
+                    ),
+                    "b_lin": jnp.asarray(
+                        np.asarray(fp[f"CNN_high_{i}/b_transform"], dtype=np.float32)
+                    ),
+                }
+                for i in range(config.n_highway)
+            ],
+            "proj_w": jnp.asarray(
+                np.asarray(fp["CNN_proj/W_proj"], dtype=np.float32)
+            ),
+            "proj_b": jnp.asarray(
+                np.asarray(fp["CNN_proj/b_proj"], dtype=np.float32)
+            ),
+        }
+        for direction, name in [("lstm_fwd", "RNN_0"), ("lstm_bwd", "RNN_1")]:
+            cells = []
+            for layer in range(config.n_lstm_layers):
+                base = f"{name}/RNN/MultiRNNCell/Cell{layer}/LSTMCell"
+                w = np.asarray(fp[f"{base}/W_0"], dtype=np.float32)
+                b = np.asarray(fp[f"{base}/B"], dtype=np.float32)
+                proj = np.asarray(fp[f"{base}/W_P_0"], dtype=np.float32)
+                in_dim = w.shape[0] - config.proj_dim
+                cells.append(
+                    {
+                        "w_x": jnp.asarray(
+                            reorder_gates(w[:in_dim], config.lstm_dim)
+                        ),
+                        "w_h": jnp.asarray(
+                            reorder_gates(w[in_dim:], config.lstm_dim)
+                        ),
+                        "b": jnp.asarray(reorder_gates(b, config.lstm_dim)),
+                        "w_proj": jnp.asarray(proj),
+                    }
+                )
+            params[direction] = cells
+    return config, params
+
+
+def load_elmo_checkpoint(path: Path):
+    path = Path(path)
+    if path.is_dir():
+        return convert_elmo_from_hdf5(
+            path / "weights.hdf5", path / "options.json"
+        )
+    params, meta = load_params(path)
+    from .elmo import ElmoConfig
+
+    cfg = meta.get("config", {})
+    if "filters" in cfg:
+        cfg["filters"] = tuple(tuple(f) for f in cfg["filters"])
+    return ElmoConfig(**cfg), params

@@ -1,0 +1,241 @@
+"""Embedder registry — the model layer's public face.
+
+Mirrors the reference's embedder-by-name registry
+(reference: cath/embed.py:34-46) with a uniform interface:
+
+  embed_per_residue(sequences) → iterator of [L_i, d] arrays
+  embed_pooled(sequences)      → [N, d] mean-pooled vectors
+  reduce_per_protein(emb)      → mean over residues
+
+Native JAX encoders: ProtT5 family (models/t5.py, checkpoints via
+models/convert.py), SeqVec/ELMo (models/elmo.py, 4 layer variants exposed
+like reference: cath/embed.py:100-105), and the AA-composition numpy
+baseline (reference: cath/embed_all.py:23-44). Registry names match the
+reference so CATH pipeline outputs keep their file names. Embedders whose
+checkpoints are not installed raise a clear error at construction, not at
+import (the reference isolates embedder crashes with subprocesses —
+reference: cath/embed_all.py:1-11; we fail fast instead and let the
+pipeline's try/except skip them the same way).
+"""
+
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_TOKEN_BATCH, MAX_SEQ_LEN
+from . import elmo, t5
+from .batching import Batch, make_batches, pad_tokens
+from .pooling import l2_then_mean_pool_jit, mean_pool_jit
+
+
+class EmbedderBase:
+    name: str = "base"
+    dim: int = 0
+
+    def embed_per_residue(
+        self, sequences: Sequence[str]
+    ) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    @staticmethod
+    def reduce_per_protein(per_residue: np.ndarray) -> np.ndarray:
+        """Mean over the residue axis (reference: cath/embed.py:91-94)."""
+        return np.asarray(per_residue, dtype=np.float32).mean(axis=0)
+
+    def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
+        return np.stack(
+            [self.reduce_per_protein(e) for e in self.embed_per_residue(sequences)]
+        )
+
+
+class ProtT5Embedder(EmbedderBase):
+    """JAX ProtT5 encoder with token-budget batching + optional L2 pooling
+    variant (reference: pfam/embed_t5_fp16.py, pfam/embed_t5_l2.py:69-71)."""
+
+    name = "ProtT5 XL U50"
+    dim = 1024
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[t5.T5Config] = None,
+        params=None,
+        token_budget: int = DEFAULT_TOKEN_BATCH,
+        max_len: int = MAX_SEQ_LEN,
+        l2_per_residue: bool = False,
+    ):
+        if params is not None:
+            self.config = config or t5.PROTT5_XL
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import load_t5_checkpoint
+
+            self.config, self.params = load_t5_checkpoint(checkpoint)
+        else:
+            raise ValueError(
+                f"{self.name}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = self.config.d_model
+        self.token_budget = token_budget
+        self.max_len = max_len
+        self.l2_per_residue = l2_per_residue
+
+    def _run_batch(self, batch: Batch) -> List[np.ndarray]:
+        tokens = [t5.tokenize(s) for s in batch.sequences]
+        ids, mask = pad_tokens(tokens, batch.padded_len, t5.PAD_ID)
+        hidden = t5.encode_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
+        )
+        hidden = np.asarray(hidden, dtype=np.float32)
+        outs = []
+        for row, seq in enumerate(batch.sequences):
+            outs.append(hidden[row, : len(seq)])  # drop EOS + padding
+        return outs
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(sequences, self.token_budget, self.max_len):
+            for idx, out in zip(batch.indices, self._run_batch(batch)):
+                results[idx] = out
+        yield from results
+
+    def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
+        """Pooled on device (masked mean; L2 variant normalises first)."""
+        pool = l2_then_mean_pool_jit if self.l2_per_residue else mean_pool_jit
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(sequences, self.token_budget, self.max_len):
+            tokens = [t5.tokenize(s) for s in batch.sequences]
+            ids, mask = pad_tokens(tokens, batch.padded_len, t5.PAD_ID)
+            # mask out EOS for pooling: pool over residues only
+            res_mask = mask.copy()
+            for row, seq in enumerate(batch.sequences):
+                res_mask[row, len(seq) :] = False
+            hidden = t5.encode_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
+            )
+            pooled = np.asarray(pool(hidden, jnp.asarray(res_mask)))
+            for idx, row in zip(batch.indices, range(len(batch.sequences))):
+                results[idx] = pooled[row]
+        return np.stack(results)
+
+
+class SeqVecEmbedder(EmbedderBase):
+    """JAX ELMo; per-residue output is [3, L, 1024] like the reference's
+    SeqVec (layers then exposed as Sum/CharCNN/LSTM1/LSTM2,
+    reference: cath/embed.py:100-105)."""
+
+    name = "SeqVec"
+    dim = 1024
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[elmo.ElmoConfig] = None,
+        params=None,
+        max_batch_tokens: int = 16384,
+    ):
+        if params is not None:
+            self.config = config or elmo.SEQVEC
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import load_elmo_checkpoint
+
+            self.config, self.params = load_elmo_checkpoint(checkpoint)
+        else:
+            raise ValueError(
+                f"{self.name}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = 2 * self.config.proj_dim
+        self.max_batch_tokens = max_batch_tokens
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(
+            sequences, self.max_batch_tokens, max_len=10**9, bucket=32
+        ):
+            tokens = [elmo.tokenize(s) for s in batch.sequences]
+            ids, mask = pad_tokens(tokens, batch.padded_len, 0)
+            layers = np.asarray(
+                elmo.encode_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
+                ),
+                dtype=np.float32,
+            )  # [3, B, L, 2p]
+            for idx, row, seq in zip(
+                batch.indices, range(len(batch.sequences)), batch.sequences
+            ):
+                results[idx] = layers[:, row, : len(seq)]
+        yield from results
+
+    @staticmethod
+    def reduce_per_protein(per_residue: np.ndarray) -> np.ndarray:
+        """SeqVec reduce: sum layers, mean residues (bio_embeddings)."""
+        return np.asarray(per_residue, dtype=np.float32).sum(0).mean(0)
+
+    def embed_layer_variants(
+        self, sequences: Sequence[str]
+    ) -> Dict[str, np.ndarray]:
+        """The reference's 4 saved variants (cath/embed.py:100-105):
+        per-protein means of each layer, plus their sum."""
+        per_layer = []  # [N, 3, d]
+        for emb in self.embed_per_residue(sequences):
+            per_layer.append(emb.mean(axis=1))  # mean over residues per layer
+        arr = np.stack(per_layer)
+        return {
+            "SeqVec Sum": arr.sum(axis=1),
+            "SeqVec CharCNN": arr[:, 0],
+            "SeqVec LSTM1": arr[:, 1],
+            "SeqVec LSTM2": arr[:, 2],
+        }
+
+
+class AACompositionEmbedder(EmbedderBase):
+    """Amino-acid-composition baseline (reference: cath/embed_all.py:23-44):
+    one-hot over the alphabet observed in the input, mean over residues."""
+
+    name = "AA Composition"
+
+    def __init__(self, alphabet: Optional[str] = None):
+        self.alphabet = alphabet
+
+    def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
+        alphabet = self.alphabet or "".join(sorted(set("".join(sequences))))
+        table = {aa: i for i, aa in enumerate(alphabet)}
+        out = np.zeros((len(sequences), len(alphabet)), dtype=np.float32)
+        for row, seq in enumerate(sequences):
+            for aa in seq:
+                out[row, table[aa]] += 1.0
+            out[row] /= max(len(seq), 1)
+        return out
+
+    def embed_per_residue(self, sequences):
+        alphabet = self.alphabet or "".join(sorted(set("".join(sequences))))
+        table = {aa: i for i, aa in enumerate(alphabet)}
+        eye = np.eye(len(alphabet), dtype=np.float32)
+        for seq in sequences:
+            yield np.stack([eye[table[aa]] for aa in seq])
+
+
+# name → constructor; ProtT5 checkpoint variants share one architecture
+# (reference: cath/embed.py:34-46 lists 11 embedders; the pLM families the
+# paper's headline results use are native here, the rest are HF-convertible
+# transformer variants tracked as future conversions)
+EMBEDDERS = {
+    "ProtT5 XL U50": ProtT5Embedder,
+    "ProtT5-BFD": ProtT5Embedder,
+    "ProtT5 UniRef50": ProtT5Embedder,
+    "SeqVec": SeqVecEmbedder,
+    "AA Composition": AACompositionEmbedder,
+}
+
+
+def get_embedder(name: str, **kwargs) -> EmbedderBase:
+    if name not in EMBEDDERS:
+        raise KeyError(
+            f"unknown embedder {name!r}; available: {sorted(EMBEDDERS)}"
+        )
+    return EMBEDDERS[name](**kwargs)

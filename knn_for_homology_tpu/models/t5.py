@@ -1,0 +1,198 @@
+"""ProtT5 encoder in pure JAX — the pLM workhorse of the pipeline.
+
+Replaces bio_embeddings' ProtTransT5XLU50Embedder (PyTorch/CUDA fp16,
+reference: pfam/embed_t5_fp16.py:25, cath/embed.py:34-46) with a JAX/XLA
+encoder: bf16 params (the TPU-native analogue of the reference's fp16 flag),
+fp32 layernorm/softmax accumulation, batch axis shardable over a mesh (DP)
+and the MLP/heads shardable over a model axis (TP) via sharding constraints.
+
+Architecture = T5 v1.0 encoder as used by ProtT5-XL (3B): RMSNorm (no bias,
+pre-norm), relative position bias on layer 0 shared across layers,
+unscaled QK^T (T5 folds the scale into init), ReLU feed-forward, final norm.
+Weights come from `models/convert.py` (HF checkpoint → param pytree); tests
+run tiny random-init configs.
+"""
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 128
+    d_model: int = 1024
+    d_kv: int = 128
+    d_ff: int = 16384
+    num_layers: int = 24
+    num_heads: int = 32
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+
+# ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
+PROTT5_XL = T5Config()
+# tiny config for tests
+TINY = T5Config(
+    vocab_size=32, d_model=64, d_kv=16, d_ff=128, num_layers=2, num_heads=4
+)
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """T5 LayerNorm: no mean subtraction, no bias; fp32 accumulation."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray, num_buckets: int, max_distance: int
+) -> jnp.ndarray:
+    """Bidirectional T5 bucketing of key_pos - query_pos."""
+    num_buckets //= 2
+    ret = (relative_position > 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def position_bias(
+    rel_embedding: jnp.ndarray, q_len: int, k_len: int, config: T5Config
+) -> jnp.ndarray:
+    """[1, heads, q_len, k_len] additive attention bias."""
+    ctx = jnp.arange(q_len)[:, None]
+    mem = jnp.arange(k_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx, config.rel_buckets, config.rel_max_distance
+    )
+    bias = rel_embedding[buckets]  # [q, k, heads]
+    return jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
+
+
+def _attention(x, params, bias, mask, config: T5Config):
+    """Self-attention block (pre-norm). x [B, L, d]; bias [1, H, L, L] fp32."""
+    b, l, _ = x.shape
+    h, dk = config.num_heads, config.d_kv
+    normed = rms_norm(x, params["ln"], config.layer_norm_eps)
+
+    def proj(w):  # [d_model, h*dk]
+        out = jnp.einsum("bld,dk->blk", normed, w)
+        return out.reshape(b, l, h, dk)
+
+    q = proj(params["q"])
+    k = proj(params["k"])
+    v = proj(params["v"])
+    # T5: no 1/sqrt(dk) scaling
+    scores = jnp.einsum(
+        "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores + bias
+    scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+    out = jnp.einsum("blk,kd->bld", ctx.reshape(b, l, h * dk), params["o"])
+    return x + out
+
+
+def _mlp(x, params, config: T5Config):
+    normed = rms_norm(x, params["ln"], config.layer_norm_eps)
+    hidden = jnp.einsum("bld,df->blf", normed, params["wi"])
+    hidden = jax.nn.relu(hidden)
+    # tensor-parallel friendly: d_ff is the natural model-axis shard dim
+    out = jnp.einsum("blf,fd->bld", hidden, params["wo"])
+    return x + out
+
+
+def encode(
+    params: Params,
+    token_ids: jnp.ndarray,  # [B, L] int32
+    mask: jnp.ndarray,  # [B, L] bool (True = real token)
+    config: T5Config,
+) -> jnp.ndarray:
+    """Per-token hidden states [B, L, d_model]."""
+    x = params["embedding"][token_ids].astype(config.dtype)
+    bias = position_bias(
+        params["rel_embedding"], token_ids.shape[1], token_ids.shape[1], config
+    )
+    for layer in params["layers"]:
+        x = _attention(x, layer["attn"], bias, mask, config)
+        x = _mlp(x, layer["mlp"], config)
+    x = rms_norm(x, params["final_ln"], config.layer_norm_eps)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def encode_jit(params, token_ids, mask, config: T5Config):
+    return encode(params, token_ids, mask, config)
+
+
+def init_params(config: T5Config, seed: int = 0) -> Params:
+    """Random init (tests / smoke); real weights come from models/convert.py."""
+    rng = np.random.RandomState(seed)
+
+    def w(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0]))
+        return jnp.asarray(
+            rng.randn(*shape).astype(np.float32) * scale, dtype=config.dtype
+        )
+
+    def layer():
+        inner = config.num_heads * config.d_kv
+        return {
+            "attn": {
+                "ln": jnp.ones((config.d_model,), config.dtype),
+                "q": w(config.d_model, inner),
+                "k": w(config.d_model, inner),
+                "v": w(config.d_model, inner),
+                "o": w(inner, config.d_model),
+            },
+            "mlp": {
+                "ln": jnp.ones((config.d_model,), config.dtype),
+                "wi": w(config.d_model, config.d_ff),
+                "wo": w(config.d_ff, config.d_model),
+            },
+        }
+
+    return {
+        "embedding": w(config.vocab_size, config.d_model, scale=1.0),
+        "rel_embedding": w(
+            config.rel_buckets, config.num_heads, scale=0.1
+        ),
+        "layers": [layer() for _ in range(config.num_layers)],
+        "final_ln": jnp.ones((config.d_model,), config.dtype),
+    }
+
+
+# --- ProtT5 tokenisation -----------------------------------------------------
+# ProtT5 sentencepiece vocabulary: one token per residue. Rare residues
+# U, Z, O, B are mapped to X before tokenisation (bio_embeddings does the
+# same). Converted checkpoints carry their tokenizer's own table; this is the
+# published prot_t5 layout used as the default.
+PAD_ID, EOS_ID, UNK_ID = 0, 1, 2
+PROTT5_RESIDUE_ORDER = "ALGVSREDTIPKFQNYMHWC"  # ids 3..22
+PROTT5_VOCAB = {aa: i + 3 for i, aa in enumerate(PROTT5_RESIDUE_ORDER)}
+PROTT5_VOCAB["X"] = 23
+
+
+def tokenize(sequence: str, vocab: Optional[Dict[str, int]] = None) -> np.ndarray:
+    """Residue ids + EOS (reference preprocessing: UZOB → X)."""
+    vocab = vocab or PROTT5_VOCAB
+    seq = sequence.upper()
+    ids = [vocab.get("X" if aa in "UZOB" else aa, UNK_ID) for aa in seq]
+    ids.append(EOS_ID)
+    return np.asarray(ids, dtype=np.int32)

@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from knn_for_homology_tpu.models import (
+    AACompositionEmbedder,
+    ProtT5Embedder,
+    SeqVecEmbedder,
+    elmo,
+    get_embedder,
+    make_batches,
+    mean_pool,
+    pool_domain_range,
+    t5,
+)
+
+SEQS = [
+    "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ",
+    "ACDEFGHIKLMNPQRSTVWY",
+    "MSH",
+    "MKKLVLSLSLVLAFSSATAAF",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_t5():
+    params = t5.init_params(t5.TINY, seed=0)
+    return ProtT5Embedder(params=params, config=t5.TINY, token_budget=512)
+
+
+@pytest.fixture(scope="module")
+def tiny_seqvec():
+    params = elmo.init_params(elmo.TINY_ELMO, seed=0)
+    return SeqVecEmbedder(params=params, config=elmo.TINY_ELMO)
+
+
+def test_t5_padding_invariance(tiny_t5):
+    """A sequence must embed identically regardless of batch padding —
+    the masked encoder is the whole point of static-shape batching."""
+    single = list(tiny_t5.embed_per_residue([SEQS[2]]))[0]
+    batched = list(tiny_t5.embed_per_residue(SEQS))[2]
+    assert single.shape == (len(SEQS[2]), t5.TINY.d_model)
+    np.testing.assert_allclose(single, batched, atol=2e-2, rtol=2e-2)
+
+
+def test_t5_embed_order_and_shapes(tiny_t5):
+    embs = list(tiny_t5.embed_per_residue(SEQS))
+    for seq, emb in zip(SEQS, embs):
+        assert emb.shape == (len(seq), t5.TINY.d_model)
+    # pooled = mean of per-residue
+    pooled = tiny_t5.embed_pooled(SEQS)
+    for row, emb in enumerate(embs):
+        np.testing.assert_allclose(
+            pooled[row], emb.mean(axis=0), atol=2e-2, rtol=2e-2
+        )
+
+
+def test_t5_tokenizer_rare_residues():
+    toks = t5.tokenize("AUZOBX")
+    # U/Z/O/B → X; EOS appended
+    x_id = t5.PROTT5_VOCAB["X"]
+    assert toks.tolist() == [3, x_id, x_id, x_id, x_id, x_id, t5.EOS_ID]
+
+
+def test_seqvec_shapes_and_variants(tiny_seqvec):
+    embs = list(tiny_seqvec.embed_per_residue(SEQS[:2]))
+    d = 2 * elmo.TINY_ELMO.proj_dim
+    for seq, emb in zip(SEQS[:2], embs):
+        assert emb.shape == (3, len(seq), d)
+        # layer0 is the duplicated char repr: halves identical
+        np.testing.assert_array_equal(emb[0, :, : d // 2], emb[0, :, d // 2 :])
+    variants = tiny_seqvec.embed_layer_variants(SEQS[:2])
+    assert set(variants) == {
+        "SeqVec Sum",
+        "SeqVec CharCNN",
+        "SeqVec LSTM1",
+        "SeqVec LSTM2",
+    }
+    np.testing.assert_allclose(
+        variants["SeqVec Sum"],
+        variants["SeqVec CharCNN"]
+        + variants["SeqVec LSTM1"]
+        + variants["SeqVec LSTM2"],
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_seqvec_padding_invariance(tiny_seqvec):
+    single = list(tiny_seqvec.embed_per_residue([SEQS[2]]))[0]
+    batched = list(tiny_seqvec.embed_per_residue(SEQS))[2]
+    np.testing.assert_allclose(single, batched, atol=1e-5, rtol=1e-5)
+
+
+def test_seqvec_bidirectional_not_symmetric(tiny_seqvec):
+    """Reversing the sequence must change LSTM layers (direction matters)."""
+    fwd = list(tiny_seqvec.embed_per_residue([SEQS[0]]))[0]
+    rev = list(tiny_seqvec.embed_per_residue([SEQS[0][::-1]]))[0]
+    assert not np.allclose(fwd[1], rev[1][::-1])
+
+
+def test_batching_budget_and_order():
+    batches = make_batches(SEQS, token_budget=64, max_len=30, bucket=8)
+    seen = sorted(i for b in batches for i in b.indices)
+    assert seen == [0, 1, 2, 3]
+    for b in batches:
+        assert len(b.indices) * b.padded_len <= 64 or len(b.indices) == 1
+        for s in b.sequences:
+            assert len(s) <= 30  # truncation applied
+
+
+def test_mean_pool_masks_padding():
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 6, 4))
+    mask = jnp.asarray([[True, True, True, False, False, False]])
+    out = np.asarray(mean_pool(x, mask))
+    np.testing.assert_allclose(out[0], np.arange(24).reshape(6, 4)[:3].mean(0))
+
+
+def test_pool_domain_range_one_based_inclusive():
+    emb = np.arange(50, dtype=np.float32).reshape(10, 5)
+    # reference semantics: embedding[start-1:stop]
+    np.testing.assert_allclose(
+        pool_domain_range(emb, 2, 4), emb[1:4].mean(axis=0)
+    )
+
+
+def test_aa_composition_baseline():
+    embedder = get_embedder("AA Composition")
+    out = embedder.embed_pooled(["AAB", "BBB"])
+    np.testing.assert_allclose(out[0], [2 / 3, 1 / 3])
+    np.testing.assert_allclose(out[1], [0.0, 1.0])
+
+
+def test_registry_errors():
+    with pytest.raises(KeyError):
+        get_embedder("NoSuchModel")
+    with pytest.raises(ValueError, match="checkpoint"):
+        ProtT5Embedder()
