@@ -1,0 +1,87 @@
+import numpy as np
+
+from knn_for_homology_tpu.ops.align import (
+    AA_INDEX,
+    BLOSUM62,
+    GAP_EXT,
+    GAP_OPEN,
+    align_pairs,
+    e_values,
+    encode_sequence,
+    sw_scores,
+)
+
+
+def sw_oracle(q: str, t: str) -> float:
+    """Sequential affine-gap Smith-Waterman (textbook DP) as the oracle."""
+    qi = [AA_INDEX[a] for a in q]
+    ti = [AA_INDEX[a] for a in t]
+    lq, lt = len(qi), len(ti)
+    NEG = -1e9
+    h = np.zeros((lq + 1, lt + 1))
+    e = np.full((lq + 1, lt + 1), NEG)
+    f = np.full((lq + 1, lt + 1), NEG)
+    best = 0.0
+    for i in range(1, lq + 1):
+        for j in range(1, lt + 1):
+            e[i][j] = max(h[i][j - 1] - GAP_OPEN, e[i][j - 1] - GAP_EXT)
+            f[i][j] = max(h[i - 1][j] - GAP_OPEN, f[i - 1][j] - GAP_EXT)
+            h[i][j] = max(
+                0.0,
+                h[i - 1][j - 1] + BLOSUM62[qi[i - 1], ti[j - 1]],
+                e[i][j],
+                f[i][j],
+            )
+            best = max(best, h[i][j])
+    return best
+
+
+PAIRS = [
+    ("HEAGAWGHEE", "PAWHEAE"),
+    ("MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ", "MKTAYIAKQRQISFVK"),
+    ("ACDEFGHIKLMNPQRSTVWY", "ACDEFGHIKLMNPQRSTVWY"),
+    ("AAAA", "TTTT"),
+    ("MSHHWGYGKHNGPEHWHKDFPIAKGERQSPVDIDTHTAKYDPSLKPLSVSYDQATSLRILNNGHAFNVEFD", "MSHHW"),
+    ("WWWW", "WAWAW"),
+]
+
+
+def test_sw_matches_sequential_oracle():
+    qs = [p[0] for p in PAIRS]
+    ts = [p[1] for p in PAIRS]
+    lq = max(len(q) for q in qs)
+    lt = max(len(t) for t in ts)
+    q_codes = np.stack([encode_sequence(q, lq) for q in qs])
+    t_codes = np.stack([encode_sequence(t, lt) for t in ts])
+    got = np.asarray(sw_scores(q_codes, t_codes))
+    want = np.asarray([sw_oracle(q, t) for q, t in PAIRS])
+    np.testing.assert_allclose(got, want)
+
+
+def test_identity_alignment_score():
+    seq = "ACDEFGHIKLMNPQRSTVWY"
+    expected = sum(BLOSUM62[AA_INDEX[a], AA_INDEX[a]] for a in seq)
+    q = encode_sequence(seq, 32)[None]
+    t = encode_sequence(seq, 32)[None]
+    assert float(sw_scores(q, t)[0]) == expected
+
+
+def test_align_pairs_and_evalues():
+    qs = ["MKTAYIAKQRQISFVKSHF", "ACDEFGHIKLMNPQRSTVWY", "WWWW"]
+    ts = ["MKTAYIAKQRQISFVKSHF", "ACDEFGHIKLMNPQRSTVWY"[::-1], "PPPP"]
+    scores, evs = align_pairs(qs, ts)
+    assert scores[0] > scores[1] > scores[2]
+    # identical pair must have a (much) smaller E-value
+    assert evs[0] < evs[1] <= evs[2] * 10
+    # E-values are monotone decreasing in score for equal lengths
+    ev = np.asarray(
+        e_values(np.asarray([10.0, 50.0]), np.asarray([100.0, 100.0]), 1e6)
+    )
+    assert ev[0] > ev[1]
+
+
+def test_padding_does_not_change_score():
+    q, t = "HEAGAWGHEE", "PAWHEAE"
+    s1 = sw_scores(encode_sequence(q, 16)[None], encode_sequence(t, 16)[None])
+    s2 = sw_scores(encode_sequence(q, 128)[None], encode_sequence(t, 64)[None])
+    assert float(s1[0]) == float(s2[0])

@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.data import Dataset
+from knn_for_homology_tpu.interop import (
+    create_sequence_dbs,
+    make_id_map,
+    read_result_db,
+    read_result_db_with_e_value,
+    results_to_array,
+    write_prefilter_db_data,
+)
+from knn_for_homology_tpu.interop.mmseqs_format import (
+    read_result_records,
+    write_sequence_db,
+)
+
+
+@pytest.fixture()
+def ds(synthetic_dataset):
+    return Dataset.from_dir(synthetic_dataset, hits=4)
+
+
+def test_sequence_db_format(ds, tmp_path):
+    create_sequence_dbs(ds)
+    # dbtype bytes + NUL-terminated records + consistent index
+    assert (ds.mmseqs_dir / "train.dbtype").read_bytes()[:1] == b"\x00"
+    data = (ds.mmseqs_dir / "train").read_bytes()
+    index_lines = (ds.mmseqs_dir / "train.index").read_text().splitlines()
+    assert len(index_lines) == len(ds.train_ids)
+    total = sum(int(line.split("\t")[2]) for line in index_lines)
+    assert total == len(data)
+    assert data.count(b"\0") == len(ds.train_ids)
+    id_map = make_id_map(ds.train_ids, ds.mmseqs_train)
+    assert sorted(id_map.tolist()) == list(range(len(ds.train_ids)))
+
+
+def test_prefilter_roundtrip(ds):
+    """Write a prefilter DB from kNN hits and read it back through the
+    result-DB reader — the format contract both sides must share."""
+    rng = np.random.RandomState(5)
+    q = len(ds.test_ids)
+    hits = rng.randint(0, len(ds.train_ids), size=(q, 4))
+    hits[0, 2:] = -1  # missing hits are skipped
+    scores = rng.rand(q, 4).astype(np.float32)
+    write_prefilter_db_data(ds, np.arange(q), hits, scores)
+
+    result = read_result_db(ds, ds.mmseqs_dir / "prefilter")
+    assert set(result) == set(ds.test_ids)
+    for qi, qid in enumerate(ds.test_ids):
+        want = [ds.train_ids[h] for h in hits[qi] if h >= 0]
+        assert result[qid] == want
+
+
+def test_prefilter_native_matches_python(ds):
+    """The C++ writer and the pure-Python writer must emit identical bytes."""
+    from knn_for_homology_tpu.interop.native import load
+    from knn_for_homology_tpu.interop.mmseqs_format import write_prefilter_db
+
+    if load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(6)
+    q = len(ds.test_ids)
+    hits = rng.randint(0, len(ds.train_ids), size=(q, 4))
+    hits[1, 0] = -1
+    scores = (rng.rand(q, 4) * 7 - 3).astype(np.float32)
+    create_sequence_dbs(ds)
+    tmap = make_id_map(ds.test_ids, ds.mmseqs_test)
+    trmap = make_id_map(ds.train_ids, ds.mmseqs_train)
+
+    import knn_for_homology_tpu.interop.native as native_mod
+
+    pf_native = ds.mmseqs_dir / "pf_native"
+    write_prefilter_db(hits, pf_native, np.arange(q), scores, tmap, trmap)
+
+    # force the Python path by monkeypatching the native writer off
+    orig = native_mod.write_prefilter_native
+    native_mod.write_prefilter_native = lambda *a, **k: False
+    try:
+        pf_py = ds.mmseqs_dir / "pf_python"
+        write_prefilter_db(hits, pf_py, np.arange(q), scores, tmap, trmap)
+    finally:
+        native_mod.write_prefilter_native = orig
+
+    assert (
+        (ds.mmseqs_dir / "pf_native.0").read_bytes()
+        == (ds.mmseqs_dir / "pf_python.0").read_bytes()
+    )
+    assert (
+        (ds.mmseqs_dir / "pf_native.index").read_bytes()
+        == (ds.mmseqs_dir / "pf_python.index").read_bytes()
+    )
+
+
+def test_result_reader_native_matches_python(ds, tmp_path):
+    """Parse an alignment-format result DB with both parsers."""
+    # hand-write a small alignment result DB (format of `mmseqs align`)
+    result = tmp_path / "res"
+    records = {
+        0: [(3, 55, 0.91, 1.2e-8), (1, 20, 0.4, 0.5)],
+        2: [(0, 99, 1.0, 3e-30)],
+        1: [],
+    }
+    with open(str(result) + ".0", "wb") as data, open(
+        str(result) + ".index", "w"
+    ) as index:
+        offset = 0
+        for qid, rows in records.items():
+            chunk = b"".join(
+                f"{t}\t{s}\t{ident}\t{ev:.3E}\t0\t10\t20\t0\t10\t20\n".encode()
+                for t, s, ident, ev in rows
+            ) + b"\0"
+            data.write(chunk)
+            index.write(f"{qid}\t{offset}\t{len(chunk)}\n")
+            offset += len(chunk)
+
+    from knn_for_homology_tpu.interop.native import (
+        load,
+        read_result_records_native,
+    )
+
+    qids, targets, evs = read_result_records(result)
+    assert qids.tolist() == [0, 2, 1]
+    assert targets[0].tolist() == [3, 1]
+    np.testing.assert_allclose(evs[0], [1.2e-8, 0.5], rtol=1e-3)
+    assert targets[2].tolist() == []
+
+    if load() is not None:
+        nat = read_result_records_native(result, 3)
+        assert nat is not None
+        n_qids, n_targets, n_evs = nat
+        np.testing.assert_array_equal(n_qids, qids)
+        for a, b in zip(n_targets, targets):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(n_evs, evs):
+            np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_results_to_array_sentinel():
+    hits = {0: np.asarray([5, 3]), 1: np.asarray([2])}
+    evs = {0: np.asarray([0.1, 0.2]), 1: np.asarray([0.3])}
+    h, e = results_to_array(hits, evs)
+    assert h.shape == (2, 2)
+    assert e[1, 1] == 100000
+
+
+def test_hybrid_align_rescore(reference_data_dir):
+    """Full hybrid path with the native TPU aligner on the reference's
+    pfam-20-10 dataset: kNN → Smith-Waterman rescoring → AUC1/TP. The
+    reference's mmseqs-based hybrid reaches AUC1 0.8925 / TP 0.91
+    (tests/test_main.py:37-38); the native aligner must stay in that band."""
+    from knn_for_homology_tpu.eval import evaluate_string_results
+    from knn_for_homology_tpu.search import knn_search
+    from knn_for_homology_tpu.search.rescore import align_rescore
+
+    ds = Dataset.from_dir(reference_data_dir / "pfam-20-10", hits=10)
+    ids, scores, _ = knn_search(ds.load_train(), ds.load_test(), ds.hits)
+    hits, evs, seconds = align_rescore(ds, ids)
+    auc1s, tps = evaluate_string_results(ds, hits.items())
+    mean_auc1, mean_tp = np.mean(auc1s), np.mean(tps)
+    # measured: the native SW hybrid reproduces the reference's mmseqs
+    # golden exactly (0.8925 / 0.91); assert with a small robustness margin
+    assert mean_auc1 >= 0.885, mean_auc1
+    assert mean_tp >= 0.905, mean_tp
