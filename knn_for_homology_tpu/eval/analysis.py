@@ -1,0 +1,239 @@
+"""Analysis routines behind the paper figures — vectorised where the
+reference loops.
+
+Each function mirrors a specific reference analysis (cited per function);
+pipelines compose these over dataset directories and dump raw npz next to
+every figure so plots regenerate without recompute (the reference's
+contract, e.g. cath/cath.py:317).
+"""
+
+from collections import Counter
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+
+def confusion_counts(
+    correct_a: np.ndarray, correct_b: np.ndarray
+) -> np.ndarray:
+    """2×2 confusion of two methods' top-1 correctness
+    (reference: cath/cath.py:335-343): rows = B correct/wrong,
+    cols = A correct/wrong."""
+    a = np.asarray(correct_a, bool)
+    b = np.asarray(correct_b, bool)
+    return np.asarray(
+        [
+            [(a & b).sum(), (~a & b).sum()],
+            [(a & ~b).sum(), (~a & ~b).sum()],
+        ]
+    )
+
+
+def top1_cutoff_sweep(
+    top_e_values: np.ndarray,
+    mmseqs_top1_correct: np.ndarray,
+    knn_top1_correct: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pfam-style combined-accuracy sweep over every possible E-value cutoff
+    (reference: pfam/pfam.py:166-199): below the cutoff take MMseqs2's top
+    hit, above it the kNN top hit. Vectorised to two cumsums. Returns
+    (e_sorted, combined_accuracy, mmseqs_with_cutoff_accuracy)."""
+    order = np.argsort(top_e_values, kind="stable")
+    mm = np.asarray(mmseqs_top1_correct, dtype=np.float64)[order]
+    knn = np.asarray(knn_top1_correct, dtype=np.float64)[order]
+    n = len(order)
+    combined = np.cumsum(mm) + np.cumsum(knn[::-1])[::-1]
+    return (
+        np.asarray(top_e_values)[order],
+        combined / n,
+        np.cumsum(mm) / n,
+    )
+
+
+def cath_evalue_sweep(
+    e_values: np.ndarray,  # [Q] top-hit E-values (∞/sentinel when no hit)
+    correct_mmseqs: np.ndarray,  # [Q] top-1 correctness
+    correct_knn: np.ndarray,  # [Q]
+    possible: np.ndarray,  # [Q] bool
+    cutoffs: np.ndarray = None,
+    normalization: np.ndarray = None,
+    families_count: int = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CATH merge sweep over logspace cutoffs
+    (reference: cath/cath.py:625-718): combined(c) = MMseqs2 top-1 where
+    E<c else kNN top-1. Returns (cutoffs, simple, combined); normalised
+    variant when normalization/families_count given."""
+    if cutoffs is None:
+        cutoffs = np.logspace(-10, 2, 50)
+    ev = np.asarray(e_values)[None, :]  # [1, Q]
+    cut = np.asarray(cutoffs)[:, None]  # [C, 1]
+    mm = np.asarray(correct_mmseqs, bool)[None, :]
+    knn = np.asarray(correct_knn, bool)[None, :]
+    simple_mask = (ev < cut) & mm
+    combined_mask = simple_mask | ((ev > cut) & knn)
+    if normalization is not None:
+        w = np.asarray(normalization)[None, :]
+        simple = (simple_mask * w).sum(axis=1) / families_count
+        combined = (combined_mask * w).sum(axis=1) / families_count
+    else:
+        simple = simple_mask[:, possible].mean(axis=1)
+        combined = combined_mask[:, possible].mean(axis=1)
+    return np.asarray(cutoffs), simple, combined
+
+
+def bootstrap_top1(
+    is_correct: np.ndarray,
+    families: np.ndarray,
+    normalized_point: float,
+    n_rounds: int = 500,
+    seed: int = 42,
+) -> Tuple[float, float]:
+    """500× bootstrap ±CI half-widths for (QnormTop1, QrawTop1)
+    (reference: cath/cath.py:404-438): resample queries, recompute the
+    family-size normalisation inside each resample."""
+    rng = np.random.default_rng(seed)
+    is_correct = np.asarray(is_correct, dtype=np.float64)
+    families = np.asarray(families)
+    boot_norm, boot_raw = [], []
+    for _ in range(n_rounds):
+        sample = rng.choice(len(is_correct), len(is_correct))
+        fams = families[sample]
+        counts = Counter(fams.tolist())
+        weights = np.asarray([1.0 / counts[f] for f in fams.tolist()])
+        boot_norm.append((is_correct[sample] * weights).sum() / len(counts))
+        boot_raw.append(is_correct[sample].mean())
+    boot_norm = np.sort(boot_norm)
+    boot_raw = np.sort(boot_raw)
+    lo_n = boot_norm[int(n_rounds * 0.025)]
+    hi_n = boot_norm[int(n_rounds * 0.975)]
+    lo_r = boot_raw[int(n_rounds * 0.025)]
+    hi_r = boot_raw[int(n_rounds * 0.975)]
+    raw_point = is_correct.mean()
+    return (
+        max(normalized_point - lo_n, hi_n - normalized_point),
+        max(raw_point - lo_r, hi_r - raw_point),
+    )
+
+
+def merged_auc1(
+    hits_a: Sequence[np.ndarray],
+    evs_a: Sequence[np.ndarray],
+    hits_b: Sequence[np.ndarray],
+    evs_b: Sequence[np.ndarray],
+    train_codes: np.ndarray,
+    query_codes: np.ndarray,
+    family_sizes: np.ndarray,
+) -> np.ndarray:
+    """Merge two ranked hit lists per query by ascending E-value, dedup,
+    AUC1 of the merged list (reference: pfam/proteins.py:629-667)."""
+    auc1s = []
+    for qi in range(len(query_codes)):
+        a_h, a_e = hits_a[qi], evs_a[qi]
+        b_h, b_e = hits_b[qi], evs_b[qi]
+        i = j = auc1 = 0
+        picked: Set[int] = set()
+        correct = query_codes[qi]
+        while i < len(a_h) or j < len(b_h):
+            if j == len(b_h) or (i < len(a_h) and a_e[i] <= b_e[j]):
+                chosen = int(a_h[i])
+                i += 1
+            else:
+                chosen = int(b_h[j])
+                j += 1
+            if chosen in picked:
+                continue
+            picked.add(chosen)
+            if train_codes[chosen] == correct:
+                auc1 += 1
+            else:
+                break
+        auc1s.append(auc1 / family_sizes[correct])
+    return np.asarray(auc1s)
+
+
+def remove_self_hit_lossy(
+    hits: np.ndarray, scores: np.ndarray, self_ids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Self-hit stripping tolerant of lossy ANN (the self hit may not be
+    ranked first, or missing entirely) — reference: pfam/proteins.py:85-122.
+    Rotates the self hit (or the last hit when absent) to the front, then
+    drops column 0. Returns (hits, scores, n_missing_self)."""
+    hits = np.array(hits, copy=True)
+    scores = np.array(scores, copy=True)
+    self_ids = np.asarray(self_ids)
+    misplaced = np.nonzero(hits[:, 0] != self_ids)[0]
+    bogus = 0
+    for row in misplaced:
+        matches = np.nonzero(hits[row] == self_ids[row])[0]
+        if len(matches):
+            index = int(matches[0])
+        else:
+            index = hits.shape[1] - 1
+            bogus += 1
+        hits[row, 0], hits[row, 1 : index + 1] = (
+            hits[row, index].copy(),
+            hits[row, 0:index].copy(),
+        )
+        scores[row, 0], scores[row, 1 : index + 1] = (
+            scores[row, index].copy(),
+            scores[row, 0:index].copy(),
+        )
+    return hits[:, 1:], scores[:, 1:], bogus
+
+
+def assemble_slices(
+    slice_hits: np.ndarray,  # [S, k] rows into the slice set
+    slice_scores: np.ndarray,  # [S, k] descending scores
+    slice_proteins: List[str],  # protein of each slice row
+    homologous: Dict[str, Set[str]],
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Merge per-slice hit lists back to per-protein rankings
+    (reference: pfam/slices/slices.py:257-305): flatten all slices' hits,
+    sort by score, dedup hit proteins, truncate/pad to k. Returns
+    (proteins, is_correct [P, k], auc1 [P])."""
+    k = slice_hits.shape[1]
+    per_protein: Dict[str, List[int]] = {}
+    for row, protein in enumerate(slice_proteins):
+        per_protein.setdefault(protein, []).append(row)
+    proteins, correct_rows, auc1s = [], [], []
+    for protein, rows in per_protein.items():
+        flat_hits = slice_hits[rows].ravel()
+        flat_scores = slice_scores[rows].ravel()
+        ranked = flat_hits[np.argsort(-flat_scores, kind="stable")]
+        all_correct = homologous.get(protein, set())
+        picked: Set[str] = set()
+        is_correct: List[bool] = []
+        for hit in ranked[:k]:
+            hit_protein = slice_proteins[int(hit)]
+            if hit_protein in picked:
+                continue
+            picked.add(hit_protein)
+            is_correct.append(hit_protein in all_correct)
+        is_correct += [False] * (k - len(is_correct))
+        proteins.append(protein)
+        correct_rows.append(is_correct)
+        flags = np.asarray(is_correct)
+        leading = int(np.argmin(flags)) if not flags.all() else len(flags)
+        auc1s.append(leading / max(len(all_correct), 1))
+    return proteins, np.asarray(correct_rows), np.asarray(auc1s)
+
+
+def coverage_accuracy(
+    correct: np.ndarray, sort_key: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cumulative correct fraction when annotating queries in sort_key
+    order (reference: cath/cath.py:722-785). Returns (x 0..1, y)."""
+    order = np.argsort(sort_key, kind="stable")
+    flags = np.asarray(correct, dtype=np.float64)[order]
+    y = np.cumsum(flags) / (len(flags) + 1)
+    x = np.linspace(0, 1, len(flags))
+    return x, y
+
+
+def rolling_mean(data: np.ndarray, window_size: int) -> np.ndarray:
+    """(reference: seqvec_search/utils.py:103-113)"""
+    return np.convolve(
+        np.asarray(data, dtype=np.float64),
+        np.ones(window_size) / window_size,
+        mode="valid",
+    )

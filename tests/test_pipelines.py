@@ -1,0 +1,165 @@
+import json
+
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.pipelines import benchmark, cath, layer_mix, reverse
+from knn_for_homology_tpu.pipelines.pfam_proteins import (
+    build_and_search,
+    evaluate_protein_hits,
+)
+from knn_for_homology_tpu.pipelines.slices_pipeline import (
+    evaluate_slice_hits,
+    search_slices,
+    slice_domains,
+)
+
+
+def test_benchmark_cli_native_aligner(reference_data_dir, tmp_path, monkeypatch):
+    """The end-to-end CLI on the reference's pfam-20-10 (figures off; the
+    hybrid uses the native TPU aligner since mmseqs is absent)."""
+    import shutil
+
+    ds_dir = tmp_path / "pfam-20-10"
+    shutil.copytree(reference_data_dir / "pfam-20-10", ds_dir)
+    results = benchmark.run(ds_dir, hits=10, figures=False)
+    names = [r[0] for r in results]
+    assert names[:2] == ["k-NN", "k-NN + Alignment"]
+    knn_auc1 = np.mean(results[0][1])
+    align_auc1 = np.mean(results[1][1])
+    assert knn_auc1 == 0.871  # golden
+    assert align_auc1 >= 0.885  # native SW hybrid (measured 0.8925)
+
+
+def test_cath_search_and_save(tmp_path):
+    rng = np.random.RandomState(2)
+    np.save(tmp_path / "MethodA.npy", rng.randn(40, 16).astype(np.float16))
+    cath.search_and_save(tmp_path, hits=5)
+    for metric in ("cosine", "euclidean"):
+        hits = np.load(tmp_path / f"hits_{metric}.npz")
+        scores = np.load(tmp_path / f"scores_{metric}.npz")
+        assert hits["MethodA"].shape == (40, 5)
+        assert scores["MethodA"].shape == (40, 5)
+        # self hits stripped
+        assert not np.any(hits["MethodA"] == np.arange(40)[:, None])
+        assert (tmp_path / f"MethodA.{metric}-search-time.txt").exists()
+
+
+def test_cath_evaluation_top1():
+    # 3 families of sizes 3/2/1; family 2 (singleton) is impossible
+    ids = np.asarray(["a", "b", "c", "d", "e", "f"])
+    codes = ["1.1.1.1"] * 3 + ["2.2.2.2"] * 2 + ["3.3.3.3"]
+    levels = {
+        i: tuple(c.rsplit(".", k)[0] for k in range(4))
+        for i, c in zip(ids, codes)
+    }
+    array = np.asarray([levels[i] for i in ids])
+    ev = cath.CathEvaluation(ids, levels, array)
+    assert ev.is_possible.tolist() == [True] * 5 + [False]
+    assert ev.families_count == 2
+    # hits: a..e find a same-family member; f finds anything (impossible)
+    hits = np.asarray([[1], [0], [0], [4], [3], [0]])
+    correct_all = ev.compute_is_correct(hits)
+    raw, norm = ev.top1(correct_all)
+    assert raw == 1.0
+    assert abs(norm - 1.0) < 1e-12
+    # one family entirely wrong
+    hits_bad = np.asarray([[3], [3], [3], [4], [3], [0]])
+    raw_b, norm_b = ev.top1(ev.compute_is_correct(hits_bad))
+    assert abs(raw_b - 2 / 5) < 1e-12  # only the size-2 family correct
+    assert abs(norm_b - 0.5) < 1e-12  # one of two families
+    table = ev.format_table(ev.accuracy_table({"M": hits, "Bad": hits_bad}))
+    assert "| M |" in table and "| Bad |" in table
+
+
+def test_layer_mix_sweep_picks_informative_layer():
+    rng = np.random.RandomState(3)
+    n, d = 60, 16
+    fams = np.repeat(np.arange(6), 10)
+    centroids = rng.randn(6, d) * 8
+    informative = centroids[fams] + rng.randn(n, d)
+    noise1 = rng.randn(n, d)
+    noise2 = rng.randn(n, d)
+    weights, acc = layer_mix.layer_mix_sweep(
+        [noise1, informative, noise2], fams, step=0.5
+    )
+    assert len(weights) == len(acc) == 6
+    best = weights[np.argmax(acc)]
+    # the best mix should lean on the informative layer (index 1)
+    assert best[1] >= 0.5
+    assert acc.max() > 0.9
+
+
+def test_reverse_control(tmp_path):
+    from knn_for_homology_tpu.data.fasta import read_fasta
+
+    src = tmp_path / "src.fasta"
+    rng = np.random.RandomState(4)
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    with open(src, "w") as fp:
+        for i in range(30):
+            fp.write(f">P{i}\n" + "".join(rng.choice(aas, 40)) + "\n")
+    paths = reverse.make_control_fastas(src, tmp_path / "ctl", n_samples=20, seed=1)
+    fwd = read_fasta(paths["forward"])
+    rev = read_fasta(paths["reversed"])
+    shuf = read_fasta(paths["shuffled"])
+    assert len(fwd) == 20
+    for name in fwd:
+        assert rev[name] == fwd[name][::-1]
+        assert sorted(shuf[name]) == sorted(fwd[name])
+
+    # separation: three clearly shifted populations
+    emb = {
+        "forward": rng.randn(50, 8),
+        "reversed": rng.randn(50, 8) + 5,
+        "shuffled": rng.randn(50, 8) - 5,
+    }
+    out = reverse.separation_analysis(emb)
+    assert out["centroid_dist_forward_reversed"] > 2
+    assert out["centroid_dist_reversed_shuffled"] > 4
+
+
+def test_pfam_proteins_flow(tmp_path):
+    rng = np.random.RandomState(5)
+    n, d = 50, 24
+    fams = np.repeat(np.arange(5), 10)
+    emb = (rng.randn(5, d) * 10)[fams] + rng.randn(n, d)
+    ids = [f"P{i}" for i in range(n)]
+    homologous = {
+        f"P{i}": {f"P{j}" for j in range(n) if fams[j] == fams[i] and j != i}
+        for i in range(n)
+    }
+    result = build_and_search(emb.astype(np.float32), "flat", k=11)
+    from knn_for_homology_tpu.eval.analysis import remove_self_hit_lossy
+
+    hits, scores, bogus = remove_self_hit_lossy(
+        result["hits"], result["scores"], np.arange(n)
+    )
+    metrics = evaluate_protein_hits(hits, ids, homologous, recall_k=9)
+    assert metrics["auc1"] > 0.9
+    assert metrics["recall@9"] > 0.9
+
+
+def test_slices_flow():
+    rng = np.random.RandomState(6)
+    # 4 proteins, 2 families; each protein → 2 slices
+    slice_ids = [f"P{p}-{s}" for p in range(4) for s in (0, 400)]
+    fams = [0, 0, 1, 1]
+    d = 16
+    centroids = rng.randn(2, d) * 9
+    emb = np.stack(
+        [centroids[fams[p]] + rng.randn(d) * 0.5 for p in range(4) for _ in range(2)]
+    ).astype(np.float32)
+    homologous = {
+        f"P{p}": {f"P{q}" for q in range(4) if fams[q] == fams[p] and q != p}
+        for p in range(4)
+    }
+    p2d = {f"P{p}": [(f"F{fams[p]}", (10, 200))] for p in range(4)}
+    hits, scores = search_slices(emb, k=7)
+    m = evaluate_slice_hits(slice_ids, hits, p2d, homologous)
+    # only the start-0 slices contain the (10, 200) domain fully
+    assert m["n_evaluated"] == 4
+    assert m["slice_auc1"] == 1.0
+    # matching vs intersecting distinction
+    matching, intersecting = slice_domains("P0-400", {"P0": [(("F0"), (10, 500))]})
+    assert matching == set() and intersecting == {"F0"}
