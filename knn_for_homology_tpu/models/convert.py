@@ -32,7 +32,10 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
         for i, val in enumerate(tree):
             out.update(_flatten(val, f"{prefix}{i}/"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype.kind == "V":  # bf16 saves as raw void; fp32 is lossless
+            arr = arr.astype(np.float32)
+        out[prefix[:-1]] = arr
     return out
 
 
@@ -178,11 +181,14 @@ def load_t5_checkpoint(path: Path):
     """Load a converted .npz (or convert an HF directory in place)."""
     import jax.numpy as jnp
 
+    import jax
+
     path = Path(path)
     if path.is_dir():
         return convert_t5_from_hf(path)
     params, meta = load_params(path)
     config = T5Config(**{**meta.get("config", {}), "dtype": jnp.bfloat16})
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype=config.dtype), params)
     return config, params
 
 

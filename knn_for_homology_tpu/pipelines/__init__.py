@@ -1,6 +1,8 @@
 from . import (
     benchmark,
     cath,
+    embed,
+    harness,
     layer_mix,
     pfam_domains,
     pfam_proteins,
@@ -11,6 +13,8 @@ from . import (
 __all__ = [
     "benchmark",
     "cath",
+    "embed",
+    "harness",
     "layer_mix",
     "pfam_domains",
     "pfam_proteins",
