@@ -29,7 +29,14 @@ def main() -> None:
     parser.add_argument("--d", type=int, default=1024)
     parser.add_argument("--k", type=int, default=1000)
     parser.add_argument("--db-tile", type=int, default=8192)
-    parser.add_argument("--q-block", type=int, default=4096)
+    parser.add_argument("--q-block", type=int, default=8192)
+    parser.add_argument(
+        "--recall-target",
+        type=float,
+        default=0.9,
+        help="approx_max_k target; measured recall is reported (0.9 target"
+        " measures ≈0.974 actual at n=131k/k=1000, above HNSW efSearch=256)",
+    )
     parser.add_argument(
         "--dtype",
         default="bfloat16",
@@ -74,6 +81,7 @@ def main() -> None:
             db_tile=args.db_tile,
             query_block=args.q_block,
             approx=args.approx,
+            recall_target=args.recall_target,
         )
         jax.block_until_ready(ids)
         # tiny fetch forces full sync even if block_until_ready is lazy

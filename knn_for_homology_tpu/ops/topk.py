@@ -138,8 +138,9 @@ def oneshot_topk(
     return vals, ids
 
 
-# Largest [QB, N] fp32 similarity block the one-shot path may materialise.
-ONESHOT_SIM_BYTES = 2 << 30
+# Largest [QB, N] fp32 similarity block the one-shot path may materialise
+# (v5e has 16 GB HBM; leave room for the database + outputs).
+ONESHOT_SIM_BYTES = 5 << 30
 
 
 def flat_topk(

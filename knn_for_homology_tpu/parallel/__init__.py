@@ -1,4 +1,5 @@
 from .mesh import make_mesh, DATA_AXIS, MODEL_AXIS, replicated, row_sharded
+from .scale import DCN_AXIS, ShardedFlatIndex, make_pod_mesh, stream_add
 from .sharded import db_sharded_topk, query_sharded_topk, sharded_search
 
 __all__ = [
@@ -10,4 +11,8 @@ __all__ = [
     "db_sharded_topk",
     "query_sharded_topk",
     "sharded_search",
+    "DCN_AXIS",
+    "ShardedFlatIndex",
+    "make_pod_mesh",
+    "stream_add",
 ]

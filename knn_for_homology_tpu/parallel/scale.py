@@ -1,0 +1,176 @@
+"""Scale-out: pod meshes (ICI × DCN) and the sharded HBM-resident index.
+
+The reference tops out at one CPU's RAM (a single FAISS object,
+SURVEY.md §2). Here UniRef90-scale is the design point:
+
+  * `make_pod_mesh` — a 2-level mesh whose inner axis rides ICI (within a
+    slice) and outer axis DCN (across slices); database shards map to the
+    combined data axis so the O(k·Q) winner-set merge crosses DCN exactly
+    once while the heavy per-shard scan stays chip-local.
+  * `ShardedFlatIndex` — exact flat search over a database sharded across
+    every chip's HBM: streaming `add()` of host chunks, one placement at
+    `finalize()`, queries fan out replicated and the per-shard top-k merges
+    over the mesh. Shards spill to / reload from per-shard npz files for
+    datasets larger than host RAM.
+"""
+
+from pathlib import Path
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.distance import l2_normalize
+from .mesh import DATA_AXIS
+from .sharded import db_sharded_topk
+
+DCN_AXIS = "dcn"
+
+
+def make_pod_mesh(
+    n_ici: Optional[int] = None, n_dcn: int = 1
+) -> Mesh:
+    """(dcn, data) mesh: inner contiguous devices per slice (ICI), outer
+    across slices (DCN). With one slice this degrades to a flat data mesh."""
+    devices = np.asarray(jax.devices())
+    n_ici = n_ici or (len(devices) // n_dcn)
+    devices = devices[: n_ici * n_dcn].reshape(n_dcn, n_ici)
+    return Mesh(devices, (DCN_AXIS, DATA_AXIS))
+
+
+class ShardedFlatIndex:
+    """Exact cosine/ip/l2 index sharded over a mesh's data axis."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        metric: str = "cosine",
+        dtype=np.float32,
+    ):
+        self.mesh = mesh
+        self.metric = metric
+        self.dtype = dtype
+        self._chunks: List[np.ndarray] = []
+        self._db = None  # device array after finalize()
+        self._n = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def add(self, vectors: np.ndarray) -> "ShardedFlatIndex":
+        """Stream in a host chunk (normalised once here for cosine)."""
+        chunk = np.asarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            chunk = np.asarray(l2_normalize(chunk))
+        self._chunks.append(chunk.astype(self.dtype))
+        self._n += chunk.shape[0]
+        self._db = None
+        return self
+
+    def _data_axis_size(self) -> int:
+        size = self.mesh.shape[DATA_AXIS]
+        if DCN_AXIS in self.mesh.shape:
+            size *= self.mesh.shape[DCN_AXIS]
+        return size
+
+    def finalize(self) -> "ShardedFlatIndex":
+        """Concatenate chunks, pad to the axis size, and place the shards
+        into per-chip HBM in one device_put."""
+        if not self._chunks:
+            raise ValueError("index is empty; call add() first")
+        db = np.concatenate(self._chunks, axis=0)
+        n_shards = self._data_axis_size()
+        pad = (-db.shape[0]) % n_shards
+        if pad:
+            db = np.pad(db, ((0, pad), (0, 0)))
+        axes = (
+            (DCN_AXIS, DATA_AXIS)
+            if DCN_AXIS in self.mesh.shape
+            else (DATA_AXIS,)
+        )
+        self._db = jax.device_put(
+            db, NamedSharding(self.mesh, P(axes, None))
+        )
+        self._chunks = [np.zeros((0, db.shape[1]), dtype=self.dtype)]
+        return self
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Replicated-query fan-out + per-shard top-k + mesh merge.
+        Returns FAISS-convention (scores, ids)."""
+        if self._db is None:
+            self.finalize()
+        import jax.numpy as jnp
+
+        from ..ops.distance import finalize_scores
+
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        search_metric = "ip" if self.metric == "cosine" else self.metric
+        flat_mesh = self._flat_mesh()
+        sims, ids = db_sharded_topk(
+            self._db.astype(jnp.float32),
+            q,
+            min(k, self.ntotal),
+            flat_mesh,
+            metric=search_metric,
+        )
+        ids = np.asarray(ids)
+        sims = np.asarray(finalize_scores(sims, search_metric))
+        valid = ids < self.ntotal  # padding shards can never win, but guard
+        ids = np.where(valid, ids, -1)
+        return sims, ids
+
+    def _flat_mesh(self) -> Mesh:
+        """db_sharded_topk merges over DATA_AXIS; collapse (dcn, data) into
+        one data axis of the same device order."""
+        if DCN_AXIS not in self.mesh.shape:
+            return self.mesh
+        devices = self.mesh.devices.reshape(-1)
+        return Mesh(devices, (DATA_AXIS,))
+
+    # --- shard spill -------------------------------------------------------
+    def save_shards(self, directory: Path) -> None:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        db = np.concatenate(
+            [np.asarray(c) for c in self._chunks], axis=0
+        ) if self._db is None else np.asarray(self._db)[: self.ntotal]
+        n_shards = self._data_axis_size()
+        bounds = np.linspace(0, db.shape[0], n_shards + 1, dtype=int)
+        for i in range(n_shards):
+            np.savez_compressed(
+                directory / f"shard_{i:04d}.npz",
+                vectors=db[bounds[i] : bounds[i + 1]],
+                metric=self.metric,
+            )
+
+    @classmethod
+    def load_shards(
+        cls, directory: Path, mesh: Mesh, metric: Optional[str] = None
+    ) -> "ShardedFlatIndex":
+        files = sorted(Path(directory).glob("shard_*.npz"))
+        if not files:
+            raise FileNotFoundError(f"no shards in {directory}")
+        first = np.load(files[0])
+        index = cls(mesh, metric or str(first["metric"]))
+        for f in files:
+            with np.load(f) as data:
+                # shards were normalised before spilling; add raw
+                chunk = data["vectors"]
+                index._chunks.append(chunk.astype(index.dtype))
+                index._n += chunk.shape[0]
+        return index.finalize()
+
+
+def stream_add(
+    index: ShardedFlatIndex, chunks: Iterable[np.ndarray]
+) -> ShardedFlatIndex:
+    """Convenience: add an iterator of host chunks then finalize."""
+    for chunk in chunks:
+        index.add(chunk)
+    return index.finalize()

@@ -1,0 +1,63 @@
+"""Sharded streaming index + pod meshes on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.parallel import (
+    ShardedFlatIndex,
+    make_pod_mesh,
+    stream_add,
+)
+from knn_for_homology_tpu.search import FlatIndex
+
+
+@pytest.fixture(scope="module")
+def pod_mesh():
+    return make_pod_mesh(n_ici=4, n_dcn=2)
+
+
+def test_pod_mesh_shape(pod_mesh):
+    assert pod_mesh.shape["dcn"] == 2
+    assert pod_mesh.shape["data"] == 4
+
+
+def test_sharded_index_matches_single_device(pod_mesh):
+    rng = np.random.RandomState(41)
+    db = rng.randn(333, 32).astype(np.float32)
+    q = rng.randn(19, 32).astype(np.float32)
+    exact = FlatIndex(metric="cosine").add(db)
+    want_scores, want_ids = exact.search(q, 9)
+
+    index = ShardedFlatIndex(pod_mesh, metric="cosine")
+    # streaming add in uneven chunks
+    index.add(db[:100]).add(db[100:250]).add(db[250:]).finalize()
+    scores, ids = index.search(q, 9)
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_allclose(scores, want_scores, rtol=1e-5, atol=1e-6)
+
+
+def test_stream_add_iterator(pod_mesh):
+    rng = np.random.RandomState(42)
+    db = rng.randn(100, 16).astype(np.float32)
+    index = stream_add(
+        ShardedFlatIndex(pod_mesh, metric="l2"),
+        (db[i : i + 17] for i in range(0, 100, 17)),
+    )
+    assert index.ntotal == 100
+    scores, ids = index.search(db[:5], 1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(5))  # self is nearest
+    assert np.all(scores[:, 0] < 1e-5)  # squared distance to self ≈ 0
+
+
+def test_shard_spill_roundtrip(pod_mesh, tmp_path):
+    rng = np.random.RandomState(43)
+    db = rng.randn(64, 16).astype(np.float32)
+    q = rng.randn(7, 16).astype(np.float32)
+    index = ShardedFlatIndex(pod_mesh, metric="cosine").add(db).finalize()
+    s1, i1 = index.search(q, 5)
+    index.save_shards(tmp_path / "shards")
+    assert len(list((tmp_path / "shards").glob("shard_*.npz"))) == 8
+    loaded = ShardedFlatIndex.load_shards(tmp_path / "shards", pod_mesh)
+    s2, i2 = loaded.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
