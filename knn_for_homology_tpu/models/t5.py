@@ -36,6 +36,12 @@ class T5Config:
     rel_max_distance: int = 128
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    # blockwise (flash-style) attention kicks in above this length; the
+    # reference instead hard-truncates at 3096 aa (pfam/embed_t5_fp16.py:29)
+    # because dense attention memory explodes — blockwise removes that
+    # ceiling (O(L) memory per query block, online softmax).
+    attention_chunk: int = 512
+    blockwise_above: int = 1024
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
@@ -109,6 +115,97 @@ def _attention(x, params, bias, mask, config: T5Config):
     return x + out
 
 
+def _attention_blockwise(x, params, mask, config: T5Config):
+    """Flash-style blockwise self-attention: O(L·chunk) score memory.
+
+    Query chunks scan over key/value chunks carrying the online-softmax
+    state (running max, normaliser, weighted-value accumulator); the T5
+    relative-position bias is materialised per (q-chunk, k-chunk) block only.
+    Numerically equal to dense attention (both accumulate in fp32)."""
+    b, l, _ = x.shape
+    h, dk = config.num_heads, config.d_kv
+    chunk = min(config.attention_chunk, l)
+    pad = (-l) % chunk
+    normed = rms_norm(x, params["ln"], config.layer_norm_eps)
+
+    def proj(w):
+        out = jnp.einsum("bld,dk->blk", normed, w).reshape(b, l, h, dk)
+        if pad:
+            out = jnp.pad(out, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return out
+
+    q = proj(params["q"])
+    k = proj(params["k"])
+    v = proj(params["v"])
+    l_p = l + pad
+    n_chunks = l_p // chunk
+    mask_p = jnp.pad(mask, ((0, 0), (0, pad))) if pad else mask
+    kv_mask = mask_p.reshape(b, n_chunks, chunk)
+    rel = params["rel_embedding"]
+
+    positions = jnp.arange(l_p)
+
+    def q_block(qi, q_chunk_arr):
+        q_pos = qi * chunk + positions[:chunk]
+
+        def kv_step(carry, inputs):
+            acc, norm, running_max = carry
+            k_chunk_arr, v_chunk_arr, m_chunk, kj = inputs
+            k_pos = kj * chunk + positions[:chunk]
+            buckets = relative_position_bucket(
+                k_pos[None, :] - q_pos[:, None],
+                config.rel_buckets,
+                config.rel_max_distance,
+            )
+            bias = jnp.transpose(rel[buckets], (2, 0, 1))[None].astype(
+                jnp.float32
+            )  # [1, H, cq, ck]
+            scores = jnp.einsum(
+                "blhd,bmhd->bhlm",
+                q_chunk_arr,
+                k_chunk_arr,
+                preferred_element_type=jnp.float32,
+            ) + bias
+            scores = jnp.where(m_chunk[:, None, None, :], scores, -1e9)
+            new_max = jnp.maximum(running_max, scores.max(axis=-1))
+            correction = jnp.exp(running_max - new_max)
+            p = jnp.exp(scores - new_max[..., None])
+            acc = acc * correction[..., None] + jnp.einsum(
+                "bhlm,bmhd->bhld", p, v_chunk_arr.astype(jnp.float32)
+            )
+            norm = norm * correction + p.sum(axis=-1)
+            return (acc, norm, new_max), None
+
+        init = (
+            jnp.zeros((b, h, chunk, dk), jnp.float32),
+            jnp.zeros((b, h, chunk), jnp.float32),
+            jnp.full((b, h, chunk), -jnp.inf, jnp.float32),
+        )
+        (acc, norm, _), _ = jax.lax.scan(
+            kv_step,
+            init,
+            (
+                jnp.moveaxis(k.reshape(b, n_chunks, chunk, h, dk), 1, 0),
+                jnp.moveaxis(v.reshape(b, n_chunks, chunk, h, dk), 1, 0),
+                jnp.moveaxis(kv_mask, 1, 0),
+                jnp.arange(n_chunks),
+            ),
+        )
+        ctx = acc / jnp.maximum(norm[..., None], 1e-30)
+        return jnp.moveaxis(ctx, 1, 2)  # [B, chunk, H, dk]
+
+    q_chunks = jnp.moveaxis(q.reshape(b, n_chunks, chunk, h, dk), 1, 0)
+    ctx = jax.lax.map(
+        lambda args: q_block(args[0], args[1]),
+        (jnp.arange(n_chunks), q_chunks),
+    )  # [n_chunks, B, chunk, H, dk]
+    ctx = jnp.moveaxis(ctx, 0, 1).reshape(b, l_p, h * dk)[:, :l]
+    out = jnp.einsum(
+        "blk,kd->bld", ctx.astype(x.dtype), params["o"]
+    )
+    return x + out
+
+
 def _mlp(x, params, config: T5Config):
     normed = rms_norm(x, params["ln"], config.layer_norm_eps)
     hidden = jnp.einsum("bld,df->blf", normed, params["wi"])
@@ -126,11 +223,19 @@ def encode(
 ) -> jnp.ndarray:
     """Per-token hidden states [B, L, d_model]."""
     x = params["embedding"][token_ids].astype(config.dtype)
-    bias = position_bias(
-        params["rel_embedding"], token_ids.shape[1], token_ids.shape[1], config
-    )
+    length = token_ids.shape[1]
+    blockwise = length > config.blockwise_above
+    if not blockwise:
+        bias = position_bias(
+            params["rel_embedding"], length, length, config
+        )
     for layer in params["layers"]:
-        x = _attention(x, layer["attn"], bias, mask, config)
+        if blockwise:
+            attn_params = dict(layer["attn"])
+            attn_params["rel_embedding"] = params["rel_embedding"]
+            x = _attention_blockwise(x, attn_params, mask, config)
+        else:
+            x = _attention(x, layer["attn"], bias, mask, config)
         x = _mlp(x, layer["mlp"], config)
     x = rms_norm(x, params["final_ln"], config.layer_norm_eps)
     return x
