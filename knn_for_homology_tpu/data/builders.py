@@ -138,3 +138,45 @@ def make_subset_by_families(
             for header, sequence in iter_fasta(src):
                 if data.ids_to_family[header] in keep:
                     out.write(f">{header}\n{sequence}\n")
+
+
+def main(argv=None):
+    """CLI parity with the reference's builder entry points
+    (reference: seqvec_search/make_pfam_subset.py:103-124 and
+    seqvec_search/make_subset.py:25-78)."""
+    import argparse
+
+    from ..utils.logging import configure_logging
+
+    configure_logging()
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("pfam-subset")
+    p.add_argument("--pfam", type=Path, default=Path("data"))
+    p.add_argument("--data", type=Path, default=Path("data/pfam-dist"))
+    p.add_argument("--min", type=int, default=7)
+    p.add_argument("--max", type=int, default=13)
+    p.add_argument("--seed", type=int, default=532741831)
+
+    p = sub.add_parser("family-subset")
+    p.add_argument("input", type=Path)
+    p.add_argument("output", type=Path)
+    p.add_argument("families", type=int)
+
+    args = parser.parse_args(argv)
+    if args.command == "pfam-subset":
+        make_pfam_subset(
+            args.data,
+            args.seed,
+            args.pfam / "Pfam-A.fasta",
+            args.pfam / "pfamseq",
+            args.min,
+            args.max,
+        )
+    else:
+        make_subset_by_families(args.input, args.output, args.families)
+
+
+if __name__ == "__main__":
+    main()

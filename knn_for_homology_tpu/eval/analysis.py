@@ -237,3 +237,104 @@ def rolling_mean(data: np.ndarray, window_size: int) -> np.ndarray:
         np.ones(window_size) / window_size,
         mode="valid",
     )
+
+
+def length_analysis(
+    lengths: np.ndarray,
+    correct: np.ndarray,
+    window: int = 1000,
+    n_bins: int = 10,
+) -> Dict[str, np.ndarray]:
+    """Accuracy vs sequence length: rolling window over length-sorted
+    queries + equal-count bins (reference: cath/cath.py:789-896)."""
+    lengths = np.asarray(lengths)
+    correct = np.asarray(correct, dtype=np.float64)
+    order = np.argsort(lengths, kind="stable")
+    sorted_lengths = lengths[order]
+    sorted_correct = correct[order]
+    window = min(window, len(correct))
+    rolling = rolling_mean(sorted_correct, window)
+    rolling_x = rolling_mean(sorted_lengths.astype(np.float64), window)
+    bounds = np.linspace(0, len(correct), n_bins + 1, dtype=int)
+    bin_acc = np.asarray(
+        [sorted_correct[bounds[i] : bounds[i + 1]].mean() for i in range(n_bins)]
+    )
+    bin_len = np.asarray(
+        [sorted_lengths[bounds[i] : bounds[i + 1]].mean() for i in range(n_bins)]
+    )
+    return {
+        "rolling_length": rolling_x,
+        "rolling_accuracy": rolling,
+        "bin_length": bin_len,
+        "bin_accuracy": bin_acc,
+    }
+
+
+def score_evalue_correlation(
+    scores: np.ndarray, e_values: np.ndarray
+) -> Dict[str, float]:
+    """Pearson (on log E) + Spearman correlation between kNN scores and
+    alignment E-values (reference: cath/cath.py:938-952)."""
+    from scipy.stats import pearsonr, spearmanr
+
+    logged = np.log(np.asarray(e_values, dtype=np.float64))
+    logged[np.isinf(logged)] = -1e9
+    pearson = pearsonr(scores, logged)
+    spearman = spearmanr(scores, e_values)
+    return {
+        "pearson_r": float(pearson[0]),
+        "pearson_p": float(pearson[1]),
+        "spearman_r": float(spearman[0]),
+        "spearman_p": float(spearman[1]),
+    }
+
+
+def score_calibration(
+    scores: np.ndarray,
+    correct: np.ndarray,
+    smoothness: int = 20,
+) -> Dict[str, np.ndarray]:
+    """Score → accuracy calibration: bucket the similarity scores, report
+    per-bucket mean correctness + SEM
+    (reference: pfam/proteins.py:688-729 cosine_bucketed_accuracy)."""
+    scores = np.asarray(scores).ravel()
+    correct = np.asarray(correct, dtype=np.float64).ravel()
+    edges = np.linspace(0, 1 - 1 / smoothness, smoothness)
+    centers, precision, sems = [], [], []
+    for lo in edges:
+        mask = (lo < scores) & (scores <= lo + 1 / smoothness)
+        if not mask.any():
+            continue
+        vals = correct[mask]
+        centers.append(lo + 1 / (2 * smoothness))
+        precision.append(vals.mean())
+        sems.append(vals.std(ddof=1) / np.sqrt(len(vals)) if len(vals) > 1 else 0.0)
+    return {
+        "bucket_center": np.asarray(centers),
+        "precision": np.asarray(precision),
+        "sem": np.asarray(sems),
+    }
+
+
+def class_imbalance_table(
+    class_codes: np.ndarray,
+    possible: np.ndarray,
+    correct_per_method: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, float]]:
+    """Per-CATH-class counts + top-1 accuracy per method
+    (reference: cath/cath.py:250-292). class_codes: the C-level code per
+    query ('1'..'4'); correct arrays are top-1 H-level correctness."""
+    out: Dict[str, Dict[str, float]] = {"counts": {}, "counts_possible": {}}
+    class_codes = np.asarray(class_codes)
+    for klass in sorted(set(class_codes.tolist())):
+        mask = class_codes == klass
+        out["counts"][klass] = int(mask.sum())
+        out["counts_possible"][klass] = int((mask & possible).sum())
+    for name, correct in correct_per_method.items():
+        out[name] = {}
+        for klass in out["counts"]:
+            mask = (class_codes == klass) & possible
+            out[name][klass] = (
+                float(np.asarray(correct)[mask].mean()) if mask.any() else 0.0
+            )
+    return out

@@ -149,3 +149,52 @@ def test_coverage_accuracy_monotone():
 def test_rolling_mean():
     out = analysis.rolling_mean(np.asarray([1, 2, 3, 4.0]), 2)
     np.testing.assert_allclose(out, [1.5, 2.5, 3.5])
+
+
+def test_length_analysis():
+    rng = np.random.RandomState(2)
+    lengths = rng.randint(50, 500, 300)
+    # accuracy increases with length in this synthetic setup
+    correct = rng.rand(300) < (lengths / 500)
+    out = analysis.length_analysis(lengths, correct, window=50, n_bins=5)
+    assert len(out["rolling_accuracy"]) == len(out["rolling_length"])
+    assert len(out["bin_accuracy"]) == 5
+    assert out["bin_accuracy"][-1] > out["bin_accuracy"][0]
+    assert np.all(np.diff(out["bin_length"]) > 0)
+
+
+def test_score_evalue_correlation():
+    rng = np.random.RandomState(3)
+    scores = rng.rand(500)
+    e_values = np.exp(-10 * scores) * (1 + 0.1 * rng.rand(500))
+    out = analysis.score_evalue_correlation(scores, e_values)
+    assert out["pearson_r"] < -0.9  # higher score → lower log E
+    assert out["spearman_r"] < -0.9
+    # zero E-values (log → -inf) must not crash
+    e_values[0] = 0.0
+    out2 = analysis.score_evalue_correlation(scores, e_values)
+    assert np.isfinite(out2["pearson_r"])
+
+
+def test_score_calibration_monotone_for_clean_signal():
+    rng = np.random.RandomState(4)
+    scores = rng.rand(5000)
+    correct = rng.rand(5000) < scores  # perfectly calibrated
+    out = analysis.score_calibration(scores, correct, smoothness=10)
+    assert len(out["bucket_center"]) == 10
+    # calibration curve tracks the diagonal
+    np.testing.assert_allclose(
+        out["precision"], out["bucket_center"], atol=0.1
+    )
+    assert np.all(out["sem"] >= 0)
+
+
+def test_class_imbalance_table():
+    classes = np.asarray(["1", "1", "2", "2", "3"])
+    possible = np.asarray([True, True, True, False, True])
+    correct = {"M": np.asarray([1, 0, 1, 1, 0], bool)}
+    out = analysis.class_imbalance_table(classes, possible, correct)
+    assert out["counts"] == {"1": 2, "2": 2, "3": 1}
+    assert out["counts_possible"] == {"1": 2, "2": 1, "3": 1}
+    assert out["M"]["1"] == 0.5
+    assert out["M"]["2"] == 1.0
