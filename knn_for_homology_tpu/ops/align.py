@@ -137,12 +137,16 @@ def align_pairs(
     targets: list,
     db_residues: float = None,
     pair_batch: int = 2048,
-    bucket: int = 128,
+    bucket: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Align parallel lists of (query, target) sequence strings.
 
-    Returns (scores [N], e_values [N]). Pairs are length-bucketed so XLA
-    compiles a handful of shapes, then processed in device batches.
+    Returns (scores [N], e_values [N]). All batches of one call share a
+    single static (pair_batch, Lq, Lt) shape — the DP itself is cheap
+    (~1.5 s for 2000×250aa pairs on a v5e) so wasted padding compute is
+    noise, while every distinct shape costs a full XLA compile (~40 s).
+    Shapes are rounded to `bucket` multiples so they also recur across
+    calls and hit the compile cache.
     """
     assert len(queries) == len(targets)
     n = len(queries)
@@ -154,15 +158,24 @@ def align_pairs(
     def pad_len(x):
         return max(bucket, ((x + bucket - 1) // bucket) * bucket)
 
-    order = np.argsort([-(len(q)) for q in queries], kind="stable")
+    lq = pad_len(max(len(q) for q in queries))
+    lt = pad_len(max(len(t) for t in targets))
+    batch = min(pair_batch, n)
     scores = np.zeros(n, dtype=np.float32)
-    for start in range(0, n, pair_batch):
-        sel = order[start : start + pair_batch]
-        lq = pad_len(max(len(queries[i]) for i in sel))
-        lt = pad_len(max(len(targets[i]) for i in sel))
-        q = np.stack([encode_sequence(queries[i], lq) for i in sel])
-        t = np.stack([encode_sequence(targets[i], lt) for i in sel])
-        scores[sel] = np.asarray(sw_scores(jnp.asarray(q), jnp.asarray(t)))
+    empty_q = np.full((lq,), -1, dtype=np.int32)
+    empty_t = np.full((lt,), -1, dtype=np.int32)
+    for start in range(0, n, batch):
+        sel = range(start, min(start + batch, n))
+        q = np.stack(
+            [encode_sequence(queries[i], lq) for i in sel]
+            + [empty_q] * (batch - len(sel))
+        )
+        t = np.stack(
+            [encode_sequence(targets[i], lt) for i in sel]
+            + [empty_t] * (batch - len(sel))
+        )
+        out = np.asarray(sw_scores(jnp.asarray(q), jnp.asarray(t)))
+        scores[list(sel)] = out[: len(sel)]
     q_lens = np.asarray([len(q) for q in queries], dtype=np.float32)
     ev = np.asarray(e_values(jnp.asarray(scores), jnp.asarray(q_lens), db_residues))
     return scores, ev

@@ -152,3 +152,21 @@ class CathEvaluation:
                 name, raw, norm = rec
                 lines.append(f"| {name} | {raw:.1%} | {norm:.1%} |")
         return "\n".join(lines)
+
+
+def main(argv=None):
+    """CLI parity with `python -m cath.search` (reference: cath/search.py:56-57)."""
+    import argparse
+
+    from ..utils.logging import configure_logging
+
+    configure_logging()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", type=Path, default=Path("cath/data"))
+    parser.add_argument("--hits", type=int, default=CATH_HITS)
+    args = parser.parse_args(argv)
+    search_and_save(args.data, args.hits)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,45 @@ def run(
     metrics["build_seconds"] = result["build_seconds"]
     metrics["search_seconds"] = result["search_seconds"]
     return metrics
+
+
+def main(argv=None):
+    """CLI parity with `python -m pfam.proteins_search {flat|lsh|hnsw}`
+    (reference: pfam/proteins_search.py:11-57): build+persist the index over
+    full_sequences.npy, search all-vs-all k=1000, save hits/scores npy and
+    report index size vs raw embeddings."""
+    import argparse
+
+    from ..utils.logging import configure_logging
+
+    configure_logging()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "index_mode", choices=["flat", "lsh", "graph", "hnsw"],
+        help="'hnsw' is an alias for the graph ANN index",
+    )
+    parser.add_argument("--data", type=Path, default=Path("."))
+    parser.add_argument("--npy", default="full_sequences.npy")
+    parser.add_argument("--k", type=int, default=1000)
+    args = parser.parse_args(argv)
+    mode = "graph" if args.index_mode == "hnsw" else args.index_mode
+
+    npy = args.data / args.npy
+    embeddings = np.load(npy).astype(np.float32)
+    print("full_sequences", embeddings.shape)
+    index_file = args.data / f"{npy.stem}_{args.index_mode}.index"
+    result = build_and_search(embeddings, mode, index_file, args.k)
+    print(f"Index creation took {int(result['build_seconds'])}s")
+    if result["index_bytes"]:
+        print(
+            f"Embeddings: {npy.stat().st_size} B"
+            f" Index: {result['index_bytes']} B"
+            f" Difference: {result['index_bytes'] - npy.stat().st_size} B"
+        )
+    print(f"Search took {int(result['search_seconds'])}s")
+    np.save(args.data / f"{npy.stem}_{args.index_mode}_scores.npy", result["scores"])
+    np.save(args.data / f"{npy.stem}_{args.index_mode}_hits.npy", result["hits"])
+
+
+if __name__ == "__main__":
+    main()

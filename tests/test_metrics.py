@@ -68,3 +68,30 @@ def test_tp_cumulative_simple(synthetic_dataset):
     )
     curve = tp_cumulative(ds, hit_rows)
     np.testing.assert_allclose(curve, np.arange(1, 7) / 6.0)
+
+
+def test_artifact_cache(tmp_path):
+    from knn_for_homology_tpu.utils.artifacts import (
+        cached_array,
+        content_key,
+        skip_if_exists,
+    )
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return np.arange(5)
+
+    key = content_key(seed=1, n=5)
+    out1 = cached_array(tmp_path / "a.npy", compute, key)
+    out2 = cached_array(tmp_path / "a.npy", compute, key)
+    np.testing.assert_array_equal(out1, out2)
+    assert len(calls) == 1  # second call hit the cache
+    # changed inputs → different key → recompute
+    cached_array(tmp_path / "a.npy", compute, content_key(seed=2, n=5))
+    assert len(calls) == 2
+    assert skip_if_exists(tmp_path / "a.npy")
+    assert not skip_if_exists(tmp_path / "missing.npy")
+    # array inputs hash by content
+    assert content_key(x=np.ones(3)) != content_key(x=np.zeros(3))
