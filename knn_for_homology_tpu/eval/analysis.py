@@ -316,6 +316,23 @@ def score_calibration(
     }
 
 
+def hit_set_overlap(
+    hits_a: Sequence[np.ndarray], hits_b: Sequence[np.ndarray]
+) -> Dict[str, int]:
+    """Per-query hit-set overlap totals: A-only / both / B-only — the
+    UniRef90 case-study tables (reference:
+    more_sensitive/uniref90-figures/uniref90-overlap.md, e.g. kNN-only 422 /
+    both 1184 / MMseqs2-only 50598 at k=300)."""
+    only_a = both = only_b = 0
+    for a_row, b_row in zip(hits_a, hits_b):
+        a = set(np.asarray(a_row).tolist()) - {-1}
+        b = set(np.asarray(b_row).tolist()) - {-1}
+        both += len(a & b)
+        only_a += len(a - b)
+        only_b += len(b - a)
+    return {"only_a": only_a, "both": both, "only_b": only_b}
+
+
 def class_imbalance_table(
     class_codes: np.ndarray,
     possible: np.ndarray,

@@ -128,8 +128,85 @@ def beam_search(
     return beam_sims[:, :k], beam_ids[:, :k]
 
 
+def nn_descent_build(
+    db: jnp.ndarray,
+    degree: int,
+    iters: int = 6,
+    sample: int = 12,
+    metric: str = "cosine",
+    block: int = 4096,
+    seed: int = 0,
+) -> np.ndarray:
+    """kNN-descent graph construction — O(N·deg²·d) per round instead of the
+    exact build's O(N²·d); the scalable path for UniRef90-size databases
+    (SURVEY.md §7.4: matmul-friendly iterated kNN-descent replaces
+    sequential HNSW insertion).
+
+    Each round expands every node's candidate set with neighbours-of-
+    neighbours (a `sample`-wide slice keeps the gather bounded), scores all
+    candidates with one batched einsum per row block, de-duplicates by
+    id-sort, and keeps the best `degree`. Converges in a handful of rounds.
+    """
+    n, d = db.shape
+    degree = min(degree, n - 1)
+    sample = min(sample, degree)
+    rng = np.random.RandomState(seed)
+    graph = rng.randint(0, n, size=(n, degree)).astype(np.int32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def refine_block(graph_dev, block_rows, block_graph):
+        # candidates: current neighbours + neighbours-of-(sampled)-neighbours
+        nbr2 = graph_dev[block_graph[:, :sample]].reshape(
+            block_graph.shape[0], sample * degree
+        )
+        cand = jnp.concatenate([block_graph, nbr2], axis=1)  # [B, C]
+        # dedup + drop self: sort by id, kill repeats
+        order = jnp.argsort(cand, axis=1, stable=True)
+        s_cand = jnp.take_along_axis(cand, order, axis=1)
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((cand.shape[0], 1), bool),
+                s_cand[:, 1:] == s_cand[:, :-1],
+            ],
+            axis=1,
+        )
+        inv = jnp.argsort(order, axis=1, stable=True)
+        dup = jnp.take_along_axis(dup, inv, axis=1)
+        is_self = cand == block_rows[:, None]
+        vecs = db[cand]  # [B, C, d]
+        sims = jnp.einsum(
+            "bcd,bd->bc", vecs, db[block_rows],
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            v_sq = jnp.sum(jnp.square(vecs), axis=-1)
+            q_sq = jnp.sum(jnp.square(db[block_rows]), axis=-1, keepdims=True)
+            sims = 2.0 * sims - v_sq - q_sq
+        sims = jnp.where(dup | is_self, -jnp.inf, sims)
+        _, sel = jax.lax.top_k(sims, degree)
+        return jnp.take_along_axis(cand, sel, axis=1)
+
+    for _ in range(iters):
+        graph_dev = jnp.asarray(graph)
+        new_rows = []
+        for start in range(0, n, block):
+            rows = jnp.arange(start, min(start + block, n), dtype=jnp.int32)
+            new_rows.append(
+                np.asarray(refine_block(graph_dev, rows, graph_dev[rows]))
+            )
+        new_graph = np.concatenate(new_rows, axis=0)
+        if np.array_equal(new_graph, graph):
+            break
+        graph = new_graph
+    return graph
+
+
 class GraphIndex:
     """Neighbour-graph ANN over device-resident vectors."""
+
+    # exact O(N²) graph build is faster and better up to this many rows;
+    # beyond it kNN-descent takes over (UniRef90 scale)
+    EXACT_BUILD_MAX = 262144
 
     def __init__(
         self,
@@ -139,11 +216,13 @@ class GraphIndex:
         expand: int = 4,
         iters: Optional[int] = None,
         n_entry: int = 32,
+        build: str = "auto",  # auto | exact | nn-descent
         config: Optional[SearchConfig] = None,
     ):
         if metric not in METRICS:
             raise ValueError(f"metric must be one of {METRICS}")
         self.metric = metric
+        self.build = build
         self.degree = degree
         self.beam_width = beam_width
         self.expand = expand
@@ -172,6 +251,14 @@ class GraphIndex:
     def _build_graph(self) -> None:
         n = self._db.shape[0]
         deg = min(self.degree, n - 1)
+        build = self.build
+        if build == "auto":
+            build = "exact" if n <= self.EXACT_BUILD_MAX else "nn-descent"
+        if build == "nn-descent":
+            self._graph = jnp.asarray(
+                nn_descent_build(self._db, deg, metric=self.metric)
+            )
+            return
         # exact kNN graph from the flat engine; strip the self column
         _, ids = flat_topk(self._db, self._db, deg + 1, metric=self.metric)
         ids = np.asarray(ids)

@@ -60,3 +60,43 @@ def test_graph_persistence_roundtrip(tmp_path):
     s2, ids2 = loaded.search(q, 5)
     np.testing.assert_array_equal(ids1, ids2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_nn_descent_build_recall():
+    """kNN-descent graph must approach the exact graph's search quality —
+    the scalable build for databases where O(N²) is unaffordable."""
+    rng = np.random.RandomState(35)
+    db = rng.randn(1500, 48).astype(np.float32)
+    q = rng.randn(40, 48).astype(np.float32)
+    exact = FlatIndex(metric="cosine").add(db)
+    _, exact_ids = exact.search(q, 10)
+    index = GraphIndex(
+        metric="cosine", degree=24, beam_width=128, build="nn-descent"
+    ).add(db)
+    _, ids = index.search(q, 10)
+    r = recall(ids, exact_ids, 10)
+    assert r > 0.85, f"nn-descent recall@10 {r}"
+
+
+def test_nn_descent_graph_properties():
+    from knn_for_homology_tpu.search.graph import nn_descent_build
+
+    rng = np.random.RandomState(36)
+    db = rng.randn(300, 16).astype(np.float32)
+    import jax.numpy as jnp
+
+    graph = nn_descent_build(jnp.asarray(db), degree=8, iters=5)
+    assert graph.shape == (300, 8)
+    # no self-loops, no duplicate neighbours per row
+    for i, row in enumerate(graph):
+        assert i not in row.tolist()
+        assert len(set(row.tolist())) == 8
+
+
+def test_hit_set_overlap():
+    from knn_for_homology_tpu.eval.analysis import hit_set_overlap
+
+    a = [np.asarray([1, 2, 3]), np.asarray([4, -1, -1])]
+    b = [np.asarray([2, 3, 9]), np.asarray([4, 5, 6])]
+    out = hit_set_overlap(a, b)
+    assert out == {"only_a": 1, "both": 3, "only_b": 3}
