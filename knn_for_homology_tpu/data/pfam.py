@@ -131,3 +131,28 @@ def extract_full_sequences(
                 out.write(f">{sequence_id}\n{sequence}\n")
                 written += 1
     return written
+
+
+def main(argv=None):
+    """CLI parity with `python -m pfam.prepare_subset10_full_sequences`
+    (reference: pfam/prepare_subset10_full_sequences.py:8-26): collect the
+    proteins behind the train/test domain fastas and extract their full
+    sequences from pfamseq."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("data_dir", type=Path)
+    parser.add_argument("pfamseq", type=Path)
+    parser.add_argument("--out", default="full_sequences.fasta")
+    args = parser.parse_args(argv)
+    proteins = set()
+    for split in ("train", "test"):
+        proteins.update(build_domain_ranges(args.data_dir / f"{split}.fasta"))
+    written = extract_full_sequences(
+        proteins, args.pfamseq, args.data_dir / args.out
+    )
+    print(f"Extracted {written} of {len(proteins)} full sequences")
+
+
+if __name__ == "__main__":
+    main()

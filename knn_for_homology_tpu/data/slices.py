@@ -55,3 +55,24 @@ def slices_per_protein(slice_ids: List[str]) -> Dict[str, List[int]]:
         protein, _ = slice_id_to_protein(sid)
         out.setdefault(protein, []).append(row)
     return out
+
+
+def main(argv=None):
+    """CLI parity with `python -m pfam.slices.make_slices`
+    (reference: pfam/slices/make_slices.py:17-29)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("full_sequences_fasta", type=Path)
+    parser.add_argument("slices_fasta", type=Path)
+    parser.add_argument("--slice-len", type=int, default=SLICE_SIZE)
+    parser.add_argument("--overlap", type=int, default=SLICE_OVERLAP)
+    args = parser.parse_args(argv)
+    count = make_slices(
+        args.full_sequences_fasta, args.slices_fasta, args.slice_len, args.overlap
+    )
+    print(f"Made {count} slices")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,3 +95,45 @@ def separation_analysis(
         plt.ylabel("PC2")
         endfig(figures_dir, "reverse-pca")
     return out
+
+
+def main(argv=None):
+    """CLI parity with `python -m pfam.reverse_embed`
+    (reference: pfam/reverse_embed.py:19-44): sample proteins, write the
+    forward/reversed/shuffled controls, and embed each variant via the embed
+    driver in a subprocess (same crash-isolation pattern)."""
+    import argparse
+    import subprocess
+    import sys
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("source_fasta", type=Path)
+    parser.add_argument("out_dir", type=Path)
+    parser.add_argument("--samples", type=int, default=10000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--checkpoint", type=Path)
+    parser.add_argument("--embedder", default="ProtT5 XL U50")
+    args = parser.parse_args(argv)
+    paths = make_control_fastas(
+        args.source_fasta, args.out_dir, args.samples, args.seed
+    )
+    for tag, fasta in paths.items():
+        npy = args.out_dir / f"{tag}.npy"
+        if npy.is_file():
+            continue
+        cmd = [
+            sys.executable, "-m", "knn_for_homology_tpu.pipelines.embed",
+            "embed", str(fasta), str(npy), "--embedder", args.embedder,
+        ]
+        if args.checkpoint:
+            cmd += ["--checkpoint", str(args.checkpoint)]
+        subprocess.check_call(cmd)
+    embeddings = {
+        tag: np.load(args.out_dir / f"{tag}.npy") for tag in paths
+    }
+    out = separation_analysis(embeddings, figures_dir=args.out_dir)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
