@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_TOKEN_BATCH, MAX_SEQ_LEN
-from . import elmo, t5
+from . import bert, elmo, t5, unirep
 from .batching import Batch, make_batches, pad_tokens
 from .pooling import l2_then_mean_pool_jit, mean_pool_jit
 
@@ -193,6 +193,137 @@ class SeqVecEmbedder(EmbedderBase):
         }
 
 
+class BertEmbedder(EmbedderBase):
+    """BERT-family pLMs: ESM / ESM1b (pre-LN, 1022-aa truncation,
+    reference: cath/embed.py:80-82), ProtBert-BFD (post-LN), ProtAlbert-BFD
+    (post-LN, shared layers). One encoder (models/bert.py), different
+    configs + converted checkpoints."""
+
+    name = "ESM1b"
+    ARCHES = {
+        "ESM1b": bert.ESM1B,
+        "ESM": bert.ESM1B,
+        "ProtBert BFD": bert.PROTBERT,
+        "ProtAlbert BFD": bert.PROTALBERT,
+    }
+
+    def __init__(
+        self,
+        arch: str = "ESM1b",
+        checkpoint: Optional[Path] = None,
+        config: Optional[bert.BertConfig] = None,
+        params=None,
+        token_budget: int = DEFAULT_TOKEN_BATCH,
+    ):
+        self.name = arch
+        if params is not None:
+            self.config = config or self.ARCHES[arch]
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import load_params
+
+            loaded, meta = load_params(checkpoint)
+            cfg = meta.get("config", {})
+            self.config = bert.BertConfig(**cfg) if cfg else self.ARCHES[arch]
+            self.params = loaded
+        else:
+            raise ValueError(
+                f"{arch}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = self.config.d_model
+        self.token_budget = token_budget
+        # ESM1b's learned positions cap usable length at max_positions-2
+        self.max_len = self.config.max_positions - 2
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        bucket = min(128, self.config.max_positions)
+        for batch in make_batches(
+            sequences, self.token_budget, self.max_len, bucket=bucket
+        ):
+            tokens = [
+                bert.tokenize_esm(s, self.max_len) for s in batch.sequences
+            ]
+            # learned positions cap the padded length at max_positions
+            target = min(batch.padded_len + 2, self.config.max_positions)
+            ids, mask = pad_tokens(tokens, target, bert.ESM_PAD)
+            hidden = np.asarray(
+                bert.encode_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
+                ),
+                dtype=np.float32,
+            )
+            for idx, row, seq in zip(
+                batch.indices, range(len(batch.sequences)), batch.sequences
+            ):
+                # drop <cls> and <eos>
+                results[idx] = hidden[row, 1 : 1 + min(len(seq), self.max_len)]
+        yield from results
+
+
+class UniRepEmbedder(EmbedderBase):
+    """UniRep babbler-1900 mLSTM (models/unirep.py)."""
+
+    name = "UniRep"
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[unirep.UniRepConfig] = None,
+        params=None,
+        token_budget: int = DEFAULT_TOKEN_BATCH,
+    ):
+        if params is not None:
+            self.config = config or unirep.UNIREP
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import load_params
+
+            loaded, meta = load_params(checkpoint)
+            cfg = meta.get("config", {})
+            self.config = (
+                unirep.UniRepConfig(**cfg) if cfg else unirep.UNIREP
+            )
+            self.params = loaded
+        else:
+            raise ValueError(
+                "UniRep: no checkpoint installed — pass `checkpoint=` or params"
+            )
+        self.dim = self.config.hidden_dim
+        self.token_budget = token_budget
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(sequences, self.token_budget, 10**9):
+            tokens = [unirep.tokenize(s) for s in batch.sequences]
+            ids, mask = pad_tokens(tokens, batch.padded_len + 1, unirep.UNIREP_PAD)
+            hidden = np.asarray(
+                unirep.encode_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
+                ),
+                dtype=np.float32,
+            )
+            for idx, row, seq in zip(
+                batch.indices, range(len(batch.sequences)), batch.sequences
+            ):
+                results[idx] = hidden[row, 1 : 1 + len(seq)]  # drop <start>
+        yield from results
+
+
+class UnsupportedEmbedder(EmbedderBase):
+    """Registry entries whose upstream architectures are not ported yet
+    (XLNet's two-stream attention, CPCProt, PLUS-RNN). Kept in the registry
+    so `embed-all` sweeps report them as skipped instead of unknown —
+    mirroring the reference's crash-isolation semantics."""
+
+    def __init__(self, arch: str, **_):
+        raise NotImplementedError(
+            f"{arch}: architecture not ported; convert its checkpoint and "
+            "contribute a models/ module (see models/bert.py for the pattern)"
+        )
+
+
 class AACompositionEmbedder(EmbedderBase):
     """Amino-acid-composition baseline (reference: cath/embed_all.py:23-44):
     one-hot over the alphabet observed in the input, mean over residues."""
@@ -220,15 +351,27 @@ class AACompositionEmbedder(EmbedderBase):
             yield np.stack([eye[table[aa]] for aa in seq])
 
 
-# name → constructor; ProtT5 checkpoint variants share one architecture
-# (reference: cath/embed.py:34-46 lists 11 embedders; the pLM families the
-# paper's headline results use are native here, the rest are HF-convertible
-# transformer variants tracked as future conversions)
+import functools as _functools
+
+# name → constructor, mirroring the reference's 11-embedder registry
+# (reference: cath/embed.py:34-46) + the AA-composition baseline
+# (reference: cath/embed_all.py:23-44). ProtT5 variants share one
+# architecture (different checkpoints); ESM/BERT variants share another.
 EMBEDDERS = {
     "ProtT5 XL U50": ProtT5Embedder,
     "ProtT5-BFD": ProtT5Embedder,
     "ProtT5 UniRef50": ProtT5Embedder,
     "SeqVec": SeqVecEmbedder,
+    "ESM": _functools.partial(BertEmbedder, arch="ESM"),
+    "ESM1b": _functools.partial(BertEmbedder, arch="ESM1b"),
+    "ProtBert BFD": _functools.partial(BertEmbedder, arch="ProtBert BFD"),
+    "ProtAlbert BFD": _functools.partial(BertEmbedder, arch="ProtAlbert BFD"),
+    "UniRep": UniRepEmbedder,
+    "ProtXLNet UniRef100": _functools.partial(
+        UnsupportedEmbedder, arch="ProtXLNet UniRef100"
+    ),
+    "CPCProt": _functools.partial(UnsupportedEmbedder, arch="CPCProt"),
+    "PLUS": _functools.partial(UnsupportedEmbedder, arch="PLUS"),
     "AA Composition": AACompositionEmbedder,
 }
 

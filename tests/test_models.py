@@ -137,3 +137,79 @@ def test_registry_errors():
         get_embedder("NoSuchModel")
     with pytest.raises(ValueError, match="checkpoint"):
         ProtT5Embedder()
+
+
+def test_bert_embedder_shapes_and_padding_invariance():
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.registry import BertEmbedder
+
+    params = bert.init_params(bert.TINY_BERT, seed=0)
+    emb = BertEmbedder(
+        arch="ESM1b", params=params, config=bert.TINY_BERT, token_budget=512
+    )
+    embs = list(emb.embed_per_residue(SEQS))
+    for seq, e in zip(SEQS, embs):
+        assert e.shape == (len(seq), bert.TINY_BERT.d_model)
+    single = list(emb.embed_per_residue([SEQS[2]]))[0]
+    np.testing.assert_allclose(single, embs[2], atol=1e-4, rtol=1e-4)
+
+
+def test_bert_truncation_at_max_positions():
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.registry import BertEmbedder
+
+    params = bert.init_params(bert.TINY_BERT, seed=0)
+    emb = BertEmbedder(arch="ESM1b", params=params, config=bert.TINY_BERT)
+    long_seq = "A" * 200  # > max_positions-2 = 62
+    out = list(emb.embed_per_residue([long_seq]))[0]
+    assert out.shape[0] == bert.TINY_BERT.max_positions - 2
+
+
+def test_albert_layer_sharing():
+    from knn_for_homology_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        vocab_size=32, d_model=32, d_ff=64, num_layers=4, num_heads=4,
+        max_positions=64, pre_norm=False, share_layers=True,
+    )
+    params = bert.init_params(cfg, seed=1)
+    assert len(params["layers"]) == 1  # shared
+    import jax.numpy as jnp
+
+    ids = np.random.RandomState(0).randint(4, 20, (2, 10)).astype(np.int32)
+    out = bert.encode(
+        params, jnp.asarray(ids), jnp.ones((2, 10), bool), cfg
+    )
+    assert out.shape == (2, 10, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unirep_mlstm():
+    from knn_for_homology_tpu.models import unirep
+    from knn_for_homology_tpu.models.registry import UniRepEmbedder
+
+    params = unirep.init_params(unirep.TINY_UNIREP, seed=0)
+    emb = UniRepEmbedder(params=params, config=unirep.TINY_UNIREP)
+    embs = list(emb.embed_per_residue(SEQS[:2]))
+    for seq, e in zip(SEQS[:2], embs):
+        assert e.shape == (len(seq), unirep.TINY_UNIREP.hidden_dim)
+    # order matters in a recurrent model
+    fwd = list(emb.embed_per_residue([SEQS[0]]))[0]
+    rev = list(emb.embed_per_residue([SEQS[0][::-1]]))[0]
+    assert not np.allclose(fwd, rev[::-1])
+
+
+def test_registry_full_inventory_and_gating():
+    from knn_for_homology_tpu.models.registry import EMBEDDERS
+
+    # the reference's 11 embedders + AA composition are all addressable
+    for name in [
+        "ProtT5 XL U50", "ProtT5-BFD", "ProtT5 UniRef50", "SeqVec", "ESM",
+        "ESM1b", "ProtBert BFD", "ProtAlbert BFD", "UniRep",
+        "ProtXLNet UniRef100", "CPCProt", "PLUS", "AA Composition",
+    ]:
+        assert name in EMBEDDERS
+    with pytest.raises(NotImplementedError, match="CPCProt"):
+        get_embedder("CPCProt")
+    with pytest.raises(ValueError, match="checkpoint"):
+        get_embedder("ESM1b")
