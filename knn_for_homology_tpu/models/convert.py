@@ -192,6 +192,73 @@ def load_t5_checkpoint(path: Path):
     return config, params
 
 
+# --- HF BERT (ProtBert-style) → BertConfig params --------------------------------
+
+
+def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
+    """HF BertModel state dict (e.g. Rostlab/prot_bert_bfd) → models/bert.py
+    pytree. HF stores Linear weights [out, in]; ours are [in, out]."""
+    import jax.numpy as jnp
+
+    from .bert import BertConfig
+
+    sd = _read_hf_state_dict(model_dir)
+    cfg_file = Path(model_dir) / "config.json"
+    hf = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    config = BertConfig(
+        vocab_size=hf.get("vocab_size", 30),
+        d_model=hf.get("hidden_size", 1024),
+        d_ff=hf.get("intermediate_size", 4096),
+        num_layers=hf.get("num_hidden_layers", 30),
+        num_heads=hf.get("num_attention_heads", 16),
+        max_positions=hf.get("max_position_embeddings", 40000),
+        pre_norm=pre_norm,
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+    )
+
+    def get(name):
+        key = name if name in sd else f"bert.{name}"
+        return np.asarray(sd[key], dtype=np.float32)
+
+    def w(name):
+        return jnp.asarray(get(name).T)
+
+    def v(name):
+        return jnp.asarray(get(name))
+
+    layers = []
+    for i in range(config.num_layers):
+        base = f"encoder.layer.{i}"
+        layers.append(
+            {
+                "q": w(f"{base}.attention.self.query.weight"),
+                "q_b": v(f"{base}.attention.self.query.bias"),
+                "k": w(f"{base}.attention.self.key.weight"),
+                "k_b": v(f"{base}.attention.self.key.bias"),
+                "v": w(f"{base}.attention.self.value.weight"),
+                "v_b": v(f"{base}.attention.self.value.bias"),
+                "o": w(f"{base}.attention.output.dense.weight"),
+                "o_b": v(f"{base}.attention.output.dense.bias"),
+                "ln1": v(f"{base}.attention.output.LayerNorm.weight"),
+                "ln1_b": v(f"{base}.attention.output.LayerNorm.bias"),
+                "wi": w(f"{base}.intermediate.dense.weight"),
+                "wi_b": v(f"{base}.intermediate.dense.bias"),
+                "wo": w(f"{base}.output.dense.weight"),
+                "wo_b": v(f"{base}.output.dense.bias"),
+                "ln2": v(f"{base}.output.LayerNorm.weight"),
+                "ln2_b": v(f"{base}.output.LayerNorm.bias"),
+            }
+        )
+    params = {
+        "embedding": v("embeddings.word_embeddings.weight"),
+        "position_embedding": v("embeddings.position_embeddings.weight"),
+        "emb_ln": v("embeddings.LayerNorm.weight"),
+        "emb_ln_b": v("embeddings.LayerNorm.bias"),
+        "layers": layers,
+    }
+    return config, params
+
+
 # --- SeqVec ELMo (bilm-tf hdf5) → ELMo params -----------------------------------
 
 

@@ -213,3 +213,124 @@ def test_registry_full_inventory_and_gating():
         get_embedder("CPCProt")
     with pytest.raises(ValueError, match="checkpoint"):
         get_embedder("ESM1b")
+
+
+def test_convert_bert_from_synthetic_hf_dir(tmp_path):
+    """Validate the HF→pytree mapping against a synthetic HF BertModel
+    checkpoint (correct key names + shapes), then run the encoder."""
+    import json as _json
+
+    import torch
+
+    from knn_for_homology_tpu.models.convert import convert_bert_from_hf
+
+    hf_cfg = dict(
+        vocab_size=12, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=24, layer_norm_eps=1e-12,
+    )
+    (tmp_path / "config.json").write_text(_json.dumps(hf_cfg))
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    d, f = 16, 32
+    sd = {
+        "embeddings.word_embeddings.weight": t(12, d),
+        "embeddings.position_embeddings.weight": t(24, d),
+        "embeddings.LayerNorm.weight": torch.ones(d),
+        "embeddings.LayerNorm.bias": torch.zeros(d),
+    }
+    for i in range(2):
+        base = f"encoder.layer.{i}"
+        sd.update(
+            {
+                f"{base}.attention.self.query.weight": t(d, d),
+                f"{base}.attention.self.query.bias": torch.zeros(d),
+                f"{base}.attention.self.key.weight": t(d, d),
+                f"{base}.attention.self.key.bias": torch.zeros(d),
+                f"{base}.attention.self.value.weight": t(d, d),
+                f"{base}.attention.self.value.bias": torch.zeros(d),
+                f"{base}.attention.output.dense.weight": t(d, d),
+                f"{base}.attention.output.dense.bias": torch.zeros(d),
+                f"{base}.attention.output.LayerNorm.weight": torch.ones(d),
+                f"{base}.attention.output.LayerNorm.bias": torch.zeros(d),
+                f"{base}.intermediate.dense.weight": t(f, d),
+                f"{base}.intermediate.dense.bias": torch.zeros(f),
+                f"{base}.output.dense.weight": t(d, f),
+                f"{base}.output.dense.bias": torch.zeros(d),
+                f"{base}.output.LayerNorm.weight": torch.ones(d),
+                f"{base}.output.LayerNorm.bias": torch.zeros(d),
+            }
+        )
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+
+    config, params = convert_bert_from_hf(tmp_path)
+    assert config.d_model == 16 and config.num_layers == 2
+    from knn_for_homology_tpu.models import bert
+
+    ids = np.random.RandomState(0).randint(4, 11, (2, 9)).astype(np.int32)
+    out = bert.encode(
+        params, jnp.asarray(ids), jnp.ones((2, 9), bool), config
+    )
+    assert out.shape == (2, 9, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # weight orientation check: our [in, out] == HF [out, in].T
+    np.testing.assert_allclose(
+        np.asarray(params["layers"][0]["wi"]),
+        sd["encoder.layer.0.intermediate.dense.weight"].numpy().T,
+        rtol=1e-6,
+    )
+
+
+def test_convert_t5_from_synthetic_hf_dir(tmp_path):
+    import json as _json
+
+    import torch
+
+    from knn_for_homology_tpu.models.convert import convert_t5_from_hf
+
+    hf_cfg = dict(
+        vocab_size=10, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+    )
+    (tmp_path / "config.json").write_text(_json.dumps(hf_cfg))
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    d, inner, f = 16, 16, 32
+    sd = {"shared.weight": t(10, d),
+          "encoder.final_layer_norm.weight": torch.ones(d),
+          "encoder.block.0.layer.0.SelfAttention"
+          ".relative_attention_bias.weight": t(8, 4)}
+    for i in range(2):
+        base = f"encoder.block.{i}"
+        sd.update({
+            f"{base}.layer.0.SelfAttention.q.weight": t(inner, d),
+            f"{base}.layer.0.SelfAttention.k.weight": t(inner, d),
+            f"{base}.layer.0.SelfAttention.v.weight": t(inner, d),
+            f"{base}.layer.0.SelfAttention.o.weight": t(d, inner),
+            f"{base}.layer.0.layer_norm.weight": torch.ones(d),
+            f"{base}.layer.1.DenseReluDense.wi.weight": t(f, d),
+            f"{base}.layer.1.DenseReluDense.wo.weight": t(d, f),
+            f"{base}.layer.1.layer_norm.weight": torch.ones(d),
+        })
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+
+    import jax.numpy as jnp2
+
+    config, params = convert_t5_from_hf(tmp_path, dtype=jnp2.float32)
+    assert config.d_model == 16 and config.rel_buckets == 8
+    ids = np.random.RandomState(0).randint(3, 9, (2, 7)).astype(np.int32)
+    out = t5.encode(params, jnp.asarray(ids), jnp.ones((2, 7), bool), config)
+    assert out.shape == (2, 7, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(params["layers"][1]["mlp"]["wi"]),
+        sd["encoder.block.1.layer.1.DenseReluDense.wi.weight"].numpy().T,
+        rtol=1e-6,
+    )
