@@ -154,6 +154,97 @@ class CathEvaluation:
         return "\n".join(lines)
 
 
+def evaluate_and_report(
+    cath_data: Path,
+    domain_list: Path,
+    figures_dir: Path,
+    metric: str = "cosine",
+    bootstrap: bool = False,
+    mmseqs_results: Optional[dict] = None,
+) -> dict:
+    """The CATH paper-layer driver: load hits/scores npz, produce the
+    accuracy leaderboard (accuracies.md-style), per-level table, confusion
+    matrix + merge sweep when MMseqs2 results are supplied, length analysis,
+    superfamily scatter — each figure's raw data dumped as npz
+    (reference: cath/cath.py end-to-end; outputs mirror
+    more_sensitive/cath-figures/)."""
+    from ..eval.figures import save_raw
+
+    cath_data = Path(cath_data)
+    figures_dir = Path(figures_dir)
+    figures_dir.mkdir(parents=True, exist_ok=True)
+    evaluation = CathEvaluation.from_data_dir(cath_data, domain_list)
+    hits_per_method = dict(np.load(cath_data / f"hits_{metric}.npz"))
+    scores_per_method = dict(np.load(cath_data / f"scores_{metric}.npz"))
+
+    records = evaluation.accuracy_table(hits_per_method, bootstrap=bootstrap)
+    (figures_dir / "accuracies.md").write_text(
+        evaluation.format_table(records) + "\n"
+    )
+    report = {"accuracies": records}
+
+    per_level = {
+        name: evaluation.per_level_accuracy(
+            evaluation.compute_is_correct(hits)
+        )
+        for name, hits in hits_per_method.items()
+    }
+    report["per_level"] = per_level
+
+    best_name = records[0][0]
+    best_correct = evaluation.compute_is_correct(hits_per_method[best_name])
+    best_scores = scores_per_method[best_name][:, 0]
+
+    # superfamily-size vs accuracy scatter (reference: cath/cath.py:296-326)
+    fams = evaluation.mapping_array[:, 0]
+    top1 = best_correct[:, 0, 0]
+    sizes = np.asarray([evaluation.family_sizes[0][f] for f in fams])
+    save_raw(
+        figures_dir, "superfamily-vs-accuracy",
+        family_size=sizes, correct=top1.astype(np.float64),
+    )
+
+    # length analysis when the fasta is present
+    fasta = cath_data / "cath-20.fasta"
+    if fasta.exists():
+        from ..data.fasta import read_fasta
+
+        seqs = read_fasta(fasta, lambda h: h.split("|")[2].split("/")[0])
+        lengths = np.asarray(
+            [len(seqs.get(i, "")) for i in evaluation.ids]
+        )
+        la = analysis.length_analysis(
+            lengths[evaluation.is_possible], top1[evaluation.is_possible]
+        )
+        save_raw(figures_dir, "length-vs-accuracy", **la)
+        report["length_analysis"] = True
+
+    if mmseqs_results is not None:
+        mm_correct = mmseqs_results["is_correct_top1"]
+        e_values = mmseqs_results["e_values_top1"]
+        report["confusion"] = analysis.confusion_counts(
+            top1[evaluation.is_possible],
+            mm_correct[evaluation.is_possible],
+        ).tolist()
+        cutoffs, simple, combined = analysis.cath_evalue_sweep(
+            e_values, mm_correct, top1, evaluation.is_possible
+        )
+        save_raw(
+            figures_dir, "combining-mmseqs-and-knn-raw-data",
+            cutoffs=cutoffs, simple=simple, combined=combined,
+        )
+        x, y = analysis.coverage_accuracy(
+            top1[evaluation.is_possible],
+            -best_scores[evaluation.is_possible],
+        )
+        save_raw(figures_dir, "coverage-vs-accuracy-data", x=x, y=y)
+        report["correlation"] = analysis.score_evalue_correlation(
+            best_scores[evaluation.is_possible],
+            e_values[evaluation.is_possible],
+        )
+    return report
+
+
 def main(argv=None):
     """CLI parity with `python -m cath.search` (reference: cath/search.py:56-57)."""
     import argparse

@@ -163,3 +163,83 @@ def test_slices_flow():
     # matching vs intersecting distinction
     matching, intersecting = slice_domains("P0-400", {"P0": [(("F0"), (10, 500))]})
     assert matching == set() and intersecting == {"F0"}
+
+
+def test_figures_smoke(tmp_path):
+    """Figure utilities produce deterministic files + raw npz dumps."""
+    from knn_for_homology_tpu.eval.figures import (
+        endfig,
+        figure_tp_cumulative,
+        make_figure,
+        save_raw,
+    )
+
+    make_figure(
+        tmp_path, [[0.1, 0.9, 0.5], [0.2, 0.4, 0.8]], ["a", "b"],
+        "AUC1", "smoke.jpg", svg=True,
+    )
+    assert (tmp_path / "smoke.jpg").exists()
+    assert (tmp_path / "smoke.svg").exists()
+    data = np.load(tmp_path / "smoke-data.npz")
+    np.testing.assert_allclose(data["a"], [0.1, 0.9, 0.5])
+
+    figure_tp_cumulative(
+        tmp_path, ["m"], [np.asarray([0.1, 0.5, 0.9])], "tpc"
+    )
+    assert (tmp_path / "tpc.svg").exists()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    plt.plot([0, 1], [0, 1])
+    endfig(tmp_path, "ef")
+    for suffix in (".svg", ".jpg", ".eps"):
+        assert (tmp_path / f"ef{suffix}").exists()
+    save_raw(tmp_path, "raw", x=np.arange(3))
+    assert (tmp_path / "raw.npz").exists()
+
+
+def test_cath_evaluate_and_report(tmp_path):
+    """End-to-end CATH paper-layer driver on synthetic data incl. the
+    MMseqs2-merge analyses."""
+    rng = np.random.RandomState(8)
+    n, d = 60, 16
+    fams = np.repeat(np.arange(10), 6)
+    emb = (rng.randn(10, d) * 9)[fams] + rng.randn(n, d)
+    ids = [f"dom{i:03d}" for i in range(n)]
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    np.save(data_dir / "MethodA.npy", emb.astype(np.float32))
+    np.save(data_dir / "MethodB.npy", rng.randn(n, d).astype(np.float32))
+    import json as _json
+
+    (data_dir / "ids.json").write_text(
+        _json.dumps([f"cath|4_2_0|{i}/1-50" for i in ids])
+    )
+    clf = tmp_path / "clf.txt"
+    with open(clf, "w") as fp:
+        for i, name in enumerate(ids):
+            c, a, t, h = 1, 10, 8, int(fams[i]) + 1
+            fp.write(
+                f"{name:<7}{c:>6}{a:>6}{t:>6}{h:>6}     1     1     1     1"
+                "     1    50 1.000\n"
+            )
+    cath.search_and_save(data_dir, hits=5)
+    mm = {
+        "is_correct_top1": rng.rand(n) > 0.5,
+        "e_values_top1": 10.0 ** rng.uniform(-10, 2, n),
+    }
+    report = cath.evaluate_and_report(
+        data_dir, clf, tmp_path / "figs", mmseqs_results=mm
+    )
+    table = (tmp_path / "figs" / "accuracies.md").read_text()
+    assert "MethodA" in table and "MethodB" in table
+    # clustered method must beat random noise, and rank first
+    assert report["accuracies"][0][0] == "MethodA"
+    assert report["accuracies"][0][1] > 0.9
+    assert (tmp_path / "figs" / "superfamily-vs-accuracy.npz").exists()
+    assert (tmp_path / "figs" / "combining-mmseqs-and-knn-raw-data.npz").exists()
+    assert "confusion" in report and "correlation" in report
+    assert report["per_level"]["MethodA"]["H"] > 0.9
