@@ -52,6 +52,11 @@ def main() -> None:
     parser.add_argument(
         "--quick", action="store_true", help="tiny smoke-test shapes (CPU ok)"
     )
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of the timed run to this directory",
+    )
     args = parser.parse_args()
 
     if args.quick:
@@ -88,9 +93,12 @@ def main() -> None:
         np.asarray(ids[:1, :1])
         return ids
 
+    from knn_for_homology_tpu.utils.timing import jax_profile
+
     run()  # warmup + compile
     start = time.time()
-    ids = run()
+    with jax_profile(args.profile_dir):
+        ids = run()
     seconds = time.time() - start
 
     recall = None

@@ -42,6 +42,9 @@ class T5Config:
     # ceiling (O(L) memory per query block, online softmax).
     attention_chunk: int = 512
     blockwise_above: int = 1024
+    # use the fused Pallas flash kernel (ops/flash_attention.py) for the
+    # blockwise path instead of the XLA scan formulation
+    use_flash_kernel: bool = False
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
@@ -112,6 +115,35 @@ def _attention(x, params, bias, mask, config: T5Config):
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
     out = jnp.einsum("blk,kd->bld", ctx.reshape(b, l, h * dk), params["o"])
+    return x + out
+
+
+def _attention_flash(x, params, mask, config: T5Config):
+    """Blockwise attention through the fused Pallas kernel
+    (ops/flash_attention.py): qkv projections here, the softmax loop and the
+    T5 bias computed in-kernel."""
+    from ..ops.flash_attention import flash_attention_t5
+
+    b, l, _ = x.shape
+    h, dk = config.num_heads, config.d_kv
+    normed = rms_norm(x, params["ln"], config.layer_norm_eps)
+
+    def proj(w):
+        out = jnp.einsum("bld,dk->blk", normed, w).reshape(b, l, h, dk)
+        return jnp.swapaxes(out, 1, 2)  # [B, H, L, dk]
+
+    ctx = flash_attention_t5(
+        proj(params["q"]),
+        proj(params["k"]),
+        proj(params["v"]),
+        mask,
+        params["rel_embedding"],
+        block=config.attention_chunk,
+        num_buckets=config.rel_buckets,
+        max_distance=config.rel_max_distance,
+    )
+    ctx = jnp.swapaxes(ctx, 1, 2).reshape(b, l, h * dk)
+    out = jnp.einsum("blk,kd->bld", ctx.astype(x.dtype), params["o"])
     return x + out
 
 
@@ -233,7 +265,10 @@ def encode(
         if blockwise:
             attn_params = dict(layer["attn"])
             attn_params["rel_embedding"] = params["rel_embedding"]
-            x = _attention_blockwise(x, attn_params, mask, config)
+            if config.use_flash_kernel:
+                x = _attention_flash(x, attn_params, mask, config)
+            else:
+                x = _attention_blockwise(x, attn_params, mask, config)
         else:
             x = _attention(x, layer["attn"], bias, mask, config)
         x = _mlp(x, layer["mlp"], config)

@@ -72,3 +72,28 @@ def test_blockwise_respects_padding():
         atol=2e-4,
         rtol=2e-4,
     )
+
+
+def test_flash_kernel_path_equals_dense():
+    """encode() with use_flash_kernel must match dense attention."""
+    dense_cfg = make_cfg(blockwise_above=10**9, dtype=jnp.float32)
+    flash_cfg = make_cfg(
+        blockwise_above=1, attention_chunk=16, use_flash_kernel=True,
+        dtype=jnp.float32,
+    )
+    params = t5.init_params(dense_cfg, seed=3)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(3, 24, size=(2, 40)).astype(np.int32)
+    mask = np.ones((2, 40), dtype=bool)
+    mask[1, 29:] = False
+    dense = t5.encode(params, jnp.asarray(ids), jnp.asarray(mask), dense_cfg)
+    flash = t5.encode(params, jnp.asarray(ids), jnp.asarray(mask), flash_cfg)
+    # compare real rows only (padded rows are ignored downstream)
+    for b in range(2):
+        rows = mask[b]
+        np.testing.assert_allclose(
+            np.asarray(dense)[b, rows],
+            np.asarray(flash)[b, rows],
+            atol=3e-4,
+            rtol=3e-4,
+        )
