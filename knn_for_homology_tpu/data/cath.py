@@ -9,7 +9,7 @@ reference: cath/cath.py:56-58), cached; bio_embeddings-style h5 extraction.
 
 import json
 from pathlib import Path
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence, Tuple
 from urllib.request import urlretrieve
 
 import numpy as np

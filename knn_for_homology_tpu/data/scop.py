@@ -6,7 +6,6 @@ and cutting per-domain embeddings (including non-contiguous domains) from
 per-residue arrays with mean-pooling of the LSTM1 slice [:, 1024:2048].
 """
 
-import json
 from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 from urllib.request import urlopen, urlretrieve

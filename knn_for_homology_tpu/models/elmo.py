@@ -21,7 +21,7 @@ as `lax.scan` over time with masked state carry, batched across sequences.
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

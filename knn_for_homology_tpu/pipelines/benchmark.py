@@ -72,7 +72,7 @@ def run(
     )
 
     # --- MMseqs2 full search (only with the binary) ---
-    from ..interop import MMseqsNotFound, find_mmseqs
+    from ..interop import find_mmseqs
 
     if find_mmseqs():
         from .. import interop

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..data.dataset import Dataset
 from ..eval.metrics import evaluate_rows, evaluate_string_results
-from ..search.flat import FlatIndex, knn_search
+from ..search.flat import knn_search
 from ..search.rescore import align_rescore
 
 logger = logging.getLogger(__name__)

@@ -26,7 +26,7 @@ from ..eval.metrics import (
     hit_family_codes,
     tp_cumulative,
 )
-from ..search.flat import knn_search
+
 from ..search.io import read_index
 from ..search.lsh import LSHIndex
 from ..search.rescore import align_rescore

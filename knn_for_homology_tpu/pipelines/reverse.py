@@ -9,7 +9,7 @@ just composition). PCA via numpy SVD — no sklearn dependency.
 
 import random
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

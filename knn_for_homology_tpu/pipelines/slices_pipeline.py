@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
-from ..data.slices import make_slices, slice_id_to_protein
+from ..data.slices import slice_id_to_protein
 from ..eval import analysis
 from ..search.flat import FlatIndex
 
