@@ -124,6 +124,14 @@ def pallas_flat_topk(
 
     db_tile = min(db_tile, _round_up(n, 128))
     query_block = min(query_block, _round_up(q_n, 8))
+    # VMEM budget: double-buffered db tile + q block + the sims block must
+    # fit (~16 MB/core; tile=2048 at d=1024 crashes the Mosaic compiler)
+    while (
+        db_tile > 256
+        and (2 * db_tile * d + query_block * d + query_block * db_tile) * 4
+        > 12 * 1024 * 1024
+    ):
+        db_tile //= 2
 
     db_p = _pad_rows(db, db_tile)
     q_p = _pad_rows(queries, query_block)
