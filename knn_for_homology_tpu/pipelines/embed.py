@@ -136,10 +136,10 @@ def cmd_embed_all(args) -> None:
         if checkpoint is not None and not checkpoint.exists():
             logger.info("%s: no checkpoint at %s, skipping", name, checkpoint)
             continue
-        cmd = [
-            sys.executable, "-m", "knn_for_homology_tpu.pipelines.embed",
-            "embed-one", args.fasta, str(out_dir), "--embedder", name,
-        ]
+        cmd = [sys.executable, "-m", "knn_for_homology_tpu.pipelines.embed"]
+        if args.platform:  # top-level flag: must precede the subcommand
+            cmd += ["--platform", args.platform]
+        cmd += ["embed-one", args.fasta, str(out_dir), "--embedder", name]
         if checkpoint is not None:
             cmd += ["--checkpoint", str(checkpoint)]
         try:
@@ -189,6 +189,12 @@ def cmd_embed_domains(args) -> None:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     configure_logging()
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu) — needed because some"
+        " environments pin JAX_PLATFORMS; forwarded to embed-all workers",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("embed")
@@ -227,6 +233,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.set_defaults(func=cmd_embed_domains)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.func(args)
 
 

@@ -136,3 +136,54 @@ def test_embed_domains_cli(tmp_path):
     assert full_npy.shape == (1, 3 * d)
     # the sliced features are exactly the middle (LSTM1) block
     np.testing.assert_allclose(train_npy[0], full_npy[0, d : 2 * d])
+
+
+def test_embed_all_sweep_with_checkpoints(tmp_path):
+    """embed-all drives each available embedder in a subprocess (crash
+    isolation), skips missing checkpoints + existing outputs, and writes
+    the AA-composition baseline inline — the reference's sweep semantics."""
+    import subprocess
+    import sys
+
+    from knn_for_homology_tpu.models import t5
+    from knn_for_homology_tpu.models.convert import save_params
+    from knn_for_homology_tpu.pipelines.embed import main as embed_main
+
+    ckpts = tmp_path / "ckpts"
+    ckpts.mkdir()
+    cfg = t5.TINY
+    save_params(
+        t5.init_params(cfg, 0),
+        ckpts / "ProtT5 XL U50",
+        meta={
+            "config": {
+                "vocab_size": cfg.vocab_size, "d_model": cfg.d_model,
+                "d_kv": cfg.d_kv, "d_ff": cfg.d_ff,
+                "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+            }
+        },
+    )
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">a\nMKTAYIAK\n>b\nACDEFG\n")
+    out = tmp_path / "sweep"
+    embed_main(
+        [
+            "--platform", "cpu",
+            "embed-all", str(fasta), str(out), "--checkpoints", str(ckpts),
+        ]
+    )
+    assert (out / "AA Composition.npy").exists()
+    t5_npy = out / "ProtT5 XL U50.npy"
+    assert t5_npy.exists()
+    assert np.load(t5_npy).shape == (2, cfg.d_model)
+    assert (out / "ProtT5 XL U50.time2.txt").exists()
+    assert (out / "ids.json").exists()
+    # idempotency: second run must not recompute (mtime unchanged)
+    before = t5_npy.stat().st_mtime_ns
+    embed_main(
+        [
+            "--platform", "cpu",
+            "embed-all", str(fasta), str(out), "--checkpoints", str(ckpts),
+        ]
+    )
+    assert t5_npy.stat().st_mtime_ns == before
