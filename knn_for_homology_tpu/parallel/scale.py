@@ -174,3 +174,134 @@ def stream_add(
     for chunk in chunks:
         index.add(chunk)
     return index.finalize()
+
+
+class ShardedGraphIndex:
+    """Graph ANN sharded over the mesh: one neighbour graph per shard
+    (embarrassingly parallel builds), queries fan out replicated, every chip
+    runs the batched beam search on its shard, and the per-shard winner sets
+    merge over ICI with one top-k — sub-linear per-chip work at UniRef90
+    scale where even the sharded exact scan gets expensive.
+
+    Graph builds happen shard-locally (exact ≤256k rows, kNN-descent above,
+    like GraphIndex), so index construction cost is O((N/S)² · d) per chip
+    instead of O(N²·d).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        metric: str = "cosine",
+        degree: int = 42,
+        beam_width: int = 256,
+        expand: int = 4,
+        n_entry: int = 32,
+    ):
+        self.mesh = mesh
+        self.metric = metric
+        self.degree = degree
+        self.beam_width = beam_width
+        self.expand = expand
+        self.n_entry = n_entry
+        self._db = None  # [S, rows, d]
+        self._graphs = None  # [S, rows, degree]
+        self._n = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def build(self, vectors: np.ndarray) -> "ShardedGraphIndex":
+        from ..search.graph import GraphIndex
+
+        v = np.asarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            v = np.asarray(l2_normalize(v))
+        self._n = v.shape[0]
+        n_shards = self.mesh.shape[DATA_AXIS]
+        if DCN_AXIS in self.mesh.shape:
+            n_shards *= self.mesh.shape[DCN_AXIS]
+        pad = (-self._n) % n_shards
+        if pad:
+            v = np.pad(v, ((0, pad), (0, 0)))
+        rows = v.shape[0] // n_shards
+        dbs, graphs = [], []
+        for s in range(n_shards):
+            shard = v[s * rows : (s + 1) * rows]
+            local = GraphIndex(
+                metric="ip" if self.metric == "cosine" else self.metric,
+                degree=self.degree,
+                beam_width=self.beam_width,
+                expand=self.expand,
+                n_entry=self.n_entry,
+            ).add(shard)
+            dbs.append(np.asarray(local._db))
+            graphs.append(np.asarray(local._graph))
+        flat = self._flat_mesh()
+        self._db = jax.device_put(
+            np.stack(dbs), NamedSharding(flat, P(DATA_AXIS, None, None))
+        )
+        self._graphs = jax.device_put(
+            np.stack(graphs),
+            NamedSharding(flat, P(DATA_AXIS, None, None)),
+        )
+        return self
+
+    def _flat_mesh(self) -> Mesh:
+        if DCN_AXIS not in self.mesh.shape:
+            return self.mesh
+        return Mesh(self.mesh.devices.reshape(-1), (DATA_AXIS,))
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores [Q, k], global ids [Q, k]) — FAISS conventions."""
+        import functools
+
+        import jax.numpy as jnp
+        from jax import shard_map
+
+        from ..ops.distance import finalize_scores
+        from ..search.graph import beam_search
+
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        search_metric = "ip" if self.metric == "cosine" else self.metric
+        rows = self._db.shape[1]
+        k_local = min(k, rows)
+        n = self._n
+        entry = jnp.arange(
+            0, rows, max(rows // max(self.n_entry, 1), 1), dtype=jnp.int32
+        )[: self.n_entry]
+        beam = max(self.beam_width, k_local)
+        iters = max(8, beam // max(self.expand, 1) // 2)
+
+        def local(db_s, graph_s, q_rep):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            sims, ids = beam_search(
+                db_s[0], graph_s[0], q_rep, entry, k_local,
+                beam_width=beam, expand=self.expand, iters=iters,
+                metric=search_metric,
+            )
+            gids = jnp.where(ids >= 0, ids + shard_idx * rows, -1)
+            valid = (gids >= 0) & (gids < n)
+            sims = jnp.where(valid, sims, -jnp.inf)
+            gids = jnp.where(valid, gids, -1)
+            all_sims = jax.lax.all_gather(sims, DATA_AXIS, axis=0)
+            all_ids = jax.lax.all_gather(gids, DATA_AXIS, axis=0)
+            cand_sims = jnp.swapaxes(all_sims, 0, 1).reshape(q_rep.shape[0], -1)
+            cand_ids = jnp.swapaxes(all_ids, 0, 1).reshape(q_rep.shape[0], -1)
+            vals, sel = jax.lax.top_k(cand_sims, min(k, cand_sims.shape[1]))
+            return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
+
+        flat_mesh = self._flat_mesh()
+        sims, ids = shard_map(
+            local,
+            mesh=flat_mesh,
+            in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(self._db, self._graphs, q)
+        sims = np.asarray(finalize_scores(sims, search_metric))
+        return sims, np.asarray(ids)

@@ -61,3 +61,32 @@ def test_shard_spill_roundtrip(pod_mesh, tmp_path):
     s2, i2 = loaded.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_sharded_graph_index(pod_mesh):
+    """Per-shard graph ANN + ICI winner merge ≈ global exact search."""
+    from knn_for_homology_tpu.parallel import ShardedGraphIndex
+
+    rng = np.random.RandomState(44)
+    n, d = 800, 32
+    fams = np.repeat(np.arange(20), 40)
+    db = ((rng.randn(20, d) * 8)[fams] + rng.randn(n, d)).astype(np.float32)
+    q = db[:32] + rng.randn(32, d).astype(np.float32) * 0.1
+    exact = FlatIndex(metric="cosine").add(db)
+    _, want_ids = exact.search(q, 10)
+
+    index = ShardedGraphIndex(
+        pod_mesh, metric="cosine", degree=16, beam_width=64
+    ).build(db)
+    scores, ids = index.search(q, 10)
+    assert ids.shape == (32, 10)
+    assert np.all(ids < n)
+    recall = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(ids, want_ids)
+        ]
+    )
+    assert recall > 0.9, recall
+    # scores descending cosine
+    assert np.all(np.diff(scores, axis=1) <= 1e-5)
