@@ -162,3 +162,57 @@ def test_hybrid_align_rescore(reference_data_dir):
     # golden exactly (0.8925 / 0.91); assert with a small robustness margin
     assert mean_auc1 >= 0.885, mean_auc1
     assert mean_tp >= 0.905, mean_tp
+
+
+def test_subprocess_bridge_with_fake_mmseqs(
+    reference_data_dir, tmp_path, monkeypatch
+):
+    """End-to-end subprocess plumbing (createdb → prefilter → align →
+    result parse → evaluate) against a format-faithful fake mmseqs binary —
+    the integration the real binary would exercise."""
+    import shutil
+    import stat
+    import sys
+    from pathlib import Path as P
+
+    # wrap the fake in a shell stub so check_call([binary, ...]) works
+    stub = tmp_path / "mmseqs"
+    fake = P(__file__).parent / "fake_mmseqs.py"
+    stub.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("MMSEQS_PATH", str(stub))
+
+    from knn_for_homology_tpu import interop
+    from knn_for_homology_tpu.eval import evaluate_string_results
+    from knn_for_homology_tpu.search import knn_search
+
+    assert interop.find_mmseqs() == str(stub)
+
+    ds_dir = tmp_path / "pfam-20-10"
+    shutil.copytree(reference_data_dir / "pfam-20-10", ds_dir)
+    ds = Dataset.from_dir(ds_dir, hits=10)
+    ids, scores, _ = knn_search(ds.load_train(), ds.load_test(), ds.hits)
+
+    # createdb via subprocess + prefilter written by us
+    interop.write_prefilter_db_data(ds, np.arange(len(ds.test_ids)), ids, scores)
+    assert (ds.mmseqs_dir / "train.lookup").exists()
+
+    # `mmseqs align` (fake) echoes the prefilter with rank-preserving E-values
+    seconds = interop.align(ds)
+    assert seconds >= 0
+    hits = interop.read_result_db(ds, ds.mmseqs_dir / "result_combined")
+    auc1s, tps = evaluate_string_results(ds, hits.items())
+    # the fake preserves the kNN ranking → the kNN goldens hold end-to-end
+    assert abs(np.mean(auc1s) - 0.871) < 1e-9
+    assert abs(np.mean(tps) - 0.91) < 1e-9
+
+    # `mmseqs search` (fake) → parseable result DB with E-values
+    interop.search(ds)
+    mm_hits, mm_evs = interop.read_result_db_with_e_value(
+        ds.train_ids, ds.mmseqs_train, ds.test_ids, ds.mmseqs_test,
+        ds.mmseqs_dir / "result_mmseqs2",
+    )
+    assert len(mm_hits) == len(ds.test_ids)
+    arr_hits, arr_evs = interop.results_to_array(mm_hits, mm_evs)
+    assert arr_hits.shape[0] == len(ds.test_ids)
+    assert np.all(arr_evs[:, 0] <= arr_evs[:, 1])
