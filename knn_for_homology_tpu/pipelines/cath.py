@@ -195,6 +195,17 @@ def evaluate_and_report(
     best_correct = evaluation.compute_is_correct(hits_per_method[best_name])
     best_scores = scores_per_method[best_name][:, 0]
 
+    # per-CATH-class imbalance stats (reference: cath/cath.py:250-292)
+    class_codes = evaluation.mapping_array[:, 3]
+    report["class_imbalance"] = analysis.class_imbalance_table(
+        class_codes,
+        evaluation.is_possible,
+        {
+            name: evaluation.compute_is_correct(hits)[:, 0, 0]
+            for name, hits in hits_per_method.items()
+        },
+    )
+
     # superfamily-size vs accuracy scatter (reference: cath/cath.py:296-326)
     fams = evaluation.mapping_array[:, 0]
     top1 = best_correct[:, 0, 0]
