@@ -243,3 +243,57 @@ def test_cath_evaluate_and_report(tmp_path):
     assert (tmp_path / "figs" / "combining-mmseqs-and-knn-raw-data.npz").exists()
     assert "confusion" in report and "correlation" in report
     assert report["per_level"]["MethodA"]["H"] > 0.9
+
+
+def _install_fake_mmseqs(tmp_path, monkeypatch):
+    import stat
+    import sys
+    from pathlib import Path as P
+
+    stub = tmp_path / "mmseqs"
+    fake = P(__file__).parent / "fake_mmseqs.py"
+    stub.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("MMSEQS_PATH", str(stub))
+    return stub
+
+
+def test_benchmark_cli_mmseqs_aligner(reference_data_dir, tmp_path, monkeypatch):
+    """C28 with the mmseqs bridge: kNN → prefilter DB → `mmseqs align`
+    (fake) → result parse → eval, plus the MMseqs2 baseline row."""
+    import shutil
+
+    _install_fake_mmseqs(tmp_path, monkeypatch)
+    ds_dir = tmp_path / "pfam-20-10"
+    shutil.copytree(reference_data_dir / "pfam-20-10", ds_dir)
+    results = benchmark.run(ds_dir, hits=10, aligner="mmseqs", figures=False)
+    names = [r[0] for r in results]
+    assert names == ["k-NN", "k-NN + Alignment", "MMseqs2"]
+    # the fake align preserves kNN ranking → goldens hold through the bridge
+    assert abs(np.mean(results[1][1]) - 0.871) < 1e-9
+
+
+def test_pfam_domains_run(reference_data_dir, tmp_path, monkeypatch):
+    """C24 end to end: LSH search, native rescoring, (fake-)mmseqs plain +
+    iterated baselines, the E-value cutoff sweep, and figures."""
+    import shutil
+
+    _install_fake_mmseqs(tmp_path, monkeypatch)
+    ds_dir = tmp_path / "pfam-20-10"
+    shutil.copytree(reference_data_dir / "pfam-20-10", ds_dir)
+    from knn_for_homology_tpu.pipelines import pfam_domains
+
+    summary = pfam_domains.run(
+        ds_dir, hits=100, lsh_bits=512, figures_dir=tmp_path / "figs",
+        rescore_hits=10,
+    )
+    for key in (
+        "knn_auc1", "knn_tp", "knn_tp10", "knn_align_auc1",
+        "mmseqs_auc1", "mmseqs_iterated_auc1", "combined_best",
+    ):
+        assert key in summary, key
+    assert 0 <= summary["knn_auc1"] <= 1
+    assert summary["knn_align_auc1"] >= summary["knn_auc1"] - 0.05
+    assert (tmp_path / "figs" / "pfam_auc1.jpg").exists()
+    assert (tmp_path / "figs" / "tp_cumulative.npz").exists()
+    assert (tmp_path / "figs" / "combining-mmseqs-and-knn.npz").exists()
