@@ -230,6 +230,25 @@ def coverage_accuracy(
     return x, y
 
 
+def merged_coverage_curve(
+    e_values: np.ndarray,  # [Q] MMseqs top-hit E-values
+    knn_scores: np.ndarray,  # [Q] kNN top-hit similarities (higher better)
+    correct_mmseqs: np.ndarray,
+    correct_knn: np.ndarray,
+    e_cutoff: float = 0.01,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Coverage curve of the merged method (reference: cath/cath.py:718-760):
+    below the cutoff annotate with MMseqs2 ordered by log E, above it with
+    kNN ordered by descending similarity; the log keeps every E-value score
+    below every similarity score."""
+    e_values = np.asarray(e_values, dtype=np.float64)
+    combined_scores = np.log(np.maximum(e_values, 1e-300))
+    use_knn = e_values > e_cutoff
+    combined_scores[use_knn] = -np.asarray(knn_scores, dtype=np.float64)[use_knn]
+    combined_correct = np.where(use_knn, correct_knn, correct_mmseqs)
+    return coverage_accuracy(combined_correct, combined_scores)
+
+
 def rolling_mean(data: np.ndarray, window_size: int) -> np.ndarray:
     """(reference: seqvec_search/utils.py:103-113)"""
     return np.convolve(

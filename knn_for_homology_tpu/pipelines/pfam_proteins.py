@@ -99,7 +99,13 @@ def run(
     index_mode: str = "graph",
     index_file: Optional[Path] = None,
     k: int = 1000,
+    mmseqs_results: Optional[Dict] = None,
+    figures_dir: Optional[Path] = None,
 ) -> Dict[str, float]:
+    """Full-protein workload. `mmseqs_results` (optional):
+    {"hits": [Q ragged arrays], "e_values": [...]} from the bridge —
+    unlocks the merged ranking + combined AUC1 and the calibration/coverage
+    figure data (reference: pfam/proteins.py:213-240, 335-372, 502-729)."""
     embeddings = np.load(full_sequences_npy)
     result = build_and_search(embeddings, index_mode, index_file, k + 1)
     # lossy-ANN self-hit repair (reference: pfam/proteins.py:85-122)
@@ -111,6 +117,65 @@ def run(
     metrics = evaluate_protein_hits(hits, full_sequences_ids, homologous)
     metrics["build_seconds"] = result["build_seconds"]
     metrics["search_seconds"] = result["search_seconds"]
+
+    correct = np.asarray(
+        [
+            [
+                h >= 0 and full_sequences_ids[h] in homologous.get(q, set())
+                for h in row
+            ]
+            for q, row in zip(full_sequences_ids, hits)
+        ]
+    )
+    if figures_dir is not None:
+        from ..eval.figures import save_raw
+
+        # cosine-bucket score calibration (reference: proteins.py:688-729)
+        calib = analysis.score_calibration(scores, correct)
+        save_raw(figures_dir, "cosine_bucketed_accuracy-data", **calib)
+        # accuracy-over-hits curve (mean correctness per rank)
+        save_raw(
+            figures_dir,
+            "accuracy_over_hits-data",
+            rank_accuracy=correct.mean(axis=0),
+        )
+
+    if mmseqs_results is not None:
+        # merged kNN+MMseqs ranking by E-value (reference: proteins.py:629-667)
+        # — kNN hits get rank-preserving pseudo-E-values below the real ones
+        knn_evs = [
+            np.arange(len(row), dtype=np.float64) * 1e-12 + 1e-6
+            for row in hits
+        ]
+        # family-free protein ground truth → codes by identity
+        id_index = {p: i for i, p in enumerate(full_sequences_ids)}
+        merged_auc1s = []
+        for qi, q in enumerate(full_sequences_ids):
+            truth = homologous.get(q, set())
+            denom = max(len(truth), 1)
+            picked = set()
+            auc1 = 0
+            a_h = [int(h) for h in hits[qi] if h >= 0]
+            a_e = knn_evs[qi][: len(a_h)]
+            b_h = [int(h) for h in mmseqs_results["hits"][qi]]
+            b_e = np.asarray(mmseqs_results["e_values"][qi])
+            i = j = 0
+            while i < len(a_h) or j < len(b_h):
+                if j == len(b_h) or (i < len(a_h) and a_e[i] <= b_e[j]):
+                    chosen = a_h[i]
+                    i += 1
+                else:
+                    chosen = b_h[j]
+                    j += 1
+                if chosen in picked:
+                    continue
+                picked.add(chosen)
+                if full_sequences_ids[chosen] in truth:
+                    auc1 += 1
+                else:
+                    break
+            merged_auc1s.append(min(auc1, denom) / denom)
+        metrics["merged_auc1"] = float(np.mean(merged_auc1s))
     return metrics
 
 

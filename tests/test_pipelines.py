@@ -297,3 +297,46 @@ def test_pfam_domains_run(reference_data_dir, tmp_path, monkeypatch):
     assert (tmp_path / "figs" / "pfam_auc1.jpg").exists()
     assert (tmp_path / "figs" / "tp_cumulative.npz").exists()
     assert (tmp_path / "figs" / "combining-mmseqs-and-knn.npz").exists()
+
+
+def test_pfam_proteins_run_with_merge_and_figures(tmp_path):
+    from knn_for_homology_tpu.pipelines import pfam_proteins
+
+    rng = np.random.RandomState(9)
+    n, d = 40, 16
+    fams = np.repeat(np.arange(4), 10)
+    emb = ((rng.randn(4, d) * 10)[fams] + rng.randn(n, d)).astype(np.float32)
+    npy = tmp_path / "full_sequences.npy"
+    np.save(npy, emb)
+    ids = [f"P{i}" for i in range(n)]
+    p2d = {f"P{i}": [(f"F{fams[i]}", (0, 50))] for i in range(n)}
+    # fake mmseqs results: first same-family neighbour with a great E-value
+    mm_hits, mm_evs = [], []
+    for i in range(n):
+        mates = [j for j in range(n) if fams[j] == fams[i] and j != i]
+        mm_hits.append(np.asarray(mates[:2]))
+        mm_evs.append(np.asarray([1e-30, 1e-20]))
+    metrics = pfam_proteins.run(
+        npy, ids, p2d, index_mode="flat", k=12,
+        mmseqs_results={"hits": mm_hits, "e_values": mm_evs},
+        figures_dir=tmp_path / "figs",
+    )
+    assert metrics["auc1"] > 0.9
+    assert metrics["merged_auc1"] >= metrics["auc1"] - 0.05
+    assert (tmp_path / "figs" / "cosine_bucketed_accuracy-data.npz").exists()
+    assert (tmp_path / "figs" / "accuracy_over_hits-data.npz").exists()
+
+
+def test_merged_coverage_curve():
+    from knn_for_homology_tpu.eval.analysis import merged_coverage_curve
+
+    evs = np.asarray([1e-30, 1e-5, 5.0, 100.0])
+    knn = np.asarray([0.9, 0.8, 0.95, 0.2])
+    mm_ok = np.asarray([1, 1, 0, 0], bool)
+    knn_ok = np.asarray([0, 0, 1, 0], bool)
+    x, y = merged_coverage_curve(evs, knn, mm_ok, knn_ok, e_cutoff=0.01)
+    # order: log(1e-30), log(1e-5) (mmseqs), then -0.95, -0.2 (knn)
+    # correctness along that order: 1, 1, 1, 0 → final fraction 3/5
+    assert len(y) == 4
+    assert abs(y[-1] - 3 / 5) < 1e-12
+    assert np.all(np.diff(y) >= 0)
