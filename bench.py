@@ -35,7 +35,8 @@ def main() -> None:
         type=float,
         default=0.9,
         help="approx_max_k target; measured recall is reported (0.9 target"
-        " measures ≈0.974 actual at n=131k/k=1000, above HNSW efSearch=256)",
+        " measures ≈0.974 actual at n=131k/k=1000, above HNSW efSearch=256;"
+        " 0.85 measures ≈0.944 at ~62x baseline if more speed is wanted)",
     )
     parser.add_argument(
         "--dtype",
