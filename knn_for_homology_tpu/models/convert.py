@@ -79,6 +79,24 @@ def load_params(path: Path) -> Tuple[Any, Dict[str, Any]]:
     return _unflatten(flat), meta
 
 
+def save_params_orbax(params: Any, path: Path) -> None:
+    """Orbax checkpoint (sharded, async-capable) — the production store for
+    billion-parameter trees where a flat npz gets unwieldy."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).absolute(), params, force=True)
+
+
+def load_params_orbax(path: Path, like: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(Path(path).absolute(), like)
+        return ckptr.restore(Path(path).absolute())
+
+
 # --- HF ProtT5 → T5 params ------------------------------------------------------
 
 

@@ -86,6 +86,48 @@ def evaluate_slice_hits(
     return {"slice_auc1": float(np.mean(auc1s)), "n_evaluated": len(auc1s)}
 
 
+def mmseqs_slice_baseline(
+    slices_fasta: Path,
+    full_sequences_fasta: Path,
+    work_dir: Path,
+    sensitivity: float = 7.5,
+) -> Dict[str, float]:
+    """MMseqs2 search of slices against full sequences — the classical
+    baseline of the slices study (reference: pfam/slices/slices.py:196-205;
+    980 s there). Gated on the binary (or the fake in tests)."""
+    import json
+
+    from ..data.dataset import Dataset
+    from ..data.fasta import iter_fasta
+    from .. import interop
+
+    work_dir = Path(work_dir)
+    work_dir.mkdir(parents=True, exist_ok=True)
+    # adapt to the Dataset contract: slices = queries, full sequences = db
+    for split, fasta in [("test", slices_fasta), ("train", full_sequences_fasta)]:
+        ids = []
+        with open(work_dir / f"{split}.fasta", "w") as out:
+            for header, seq in iter_fasta(Path(fasta)):
+                ids.append(header)
+                out.write(f">{header}\n{seq}\n")
+        (work_dir / f"{split}.json").write_text(json.dumps(ids))
+    (work_dir / "ids_to_family.json").write_text("{}")
+    np.save(work_dir / "train.npy", np.zeros((1, 1), np.float32))
+    np.save(work_dir / "test.npy", np.zeros((1, 1), np.float32))
+    data = Dataset.from_dir(work_dir)
+    seconds = interop.search(data, sensitivity=sensitivity)
+    hits, evs = interop.read_result_db_with_e_value(
+        data.train_ids, data.mmseqs_train, data.test_ids, data.mmseqs_test,
+        data.mmseqs_dir / "result_mmseqs2",
+    )
+    return {
+        "search_seconds": seconds,
+        "n_queries_with_hits": sum(1 for h in hits.values() if len(h)),
+        "hits": hits,
+        "e_values": evs,
+    }
+
+
 def run(
     full_sequences_fasta: Path,
     slice_embeddings_npy: Path,

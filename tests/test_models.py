@@ -334,3 +334,18 @@ def test_convert_t5_from_synthetic_hf_dir(tmp_path):
         sd["encoder.block.1.layer.1.DenseReluDense.wi.weight"].numpy().T,
         rtol=1e-6,
     )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from knn_for_homology_tpu.models.convert import (
+        load_params_orbax,
+        save_params_orbax,
+    )
+
+    params = t5.init_params(t5.TINY, seed=0)
+    save_params_orbax(params, tmp_path / "ckpt")
+    restored = load_params_orbax(tmp_path / "ckpt", like=params)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -340,3 +340,19 @@ def test_merged_coverage_curve():
     assert len(y) == 4
     assert abs(y[-1] - 3 / 5) < 1e-12
     assert np.all(np.diff(y) >= 0)
+
+
+def test_slices_mmseqs_baseline_with_fake(tmp_path, monkeypatch):
+    from knn_for_homology_tpu.pipelines.slices_pipeline import (
+        mmseqs_slice_baseline,
+    )
+
+    _install_fake_mmseqs(tmp_path, monkeypatch)
+    slices = tmp_path / "slices.fasta"
+    slices.write_text(">P1-0\nACDEFGHIKL\n>P1-400\nMKTAYIAKQR\n")
+    full = tmp_path / "full.fasta"
+    full.write_text(">P1\nACDEFGHIKLMKTAYIAKQR\n>P2\nWWWWYYYYHH\n")
+    out = mmseqs_slice_baseline(slices, full, tmp_path / "work")
+    assert out["search_seconds"] >= 0
+    assert out["n_queries_with_hits"] == 2
+    assert set(out["hits"]) == {0, 1}
