@@ -84,16 +84,22 @@ def db_sharded_topk(
         all_ids = jax.lax.all_gather(gids, DATA_AXIS, axis=0, tiled=False)
         cand_sims = jnp.swapaxes(all_sims, 0, 1).reshape(q.shape[0], -1)
         cand_ids = jnp.swapaxes(all_ids, 0, 1).reshape(q.shape[0], -1)
-        vals, sel = jax.lax.top_k(cand_sims, k)
+        k_merge = min(k, cand_sims.shape[1])  # guard k > candidate pool
+        vals, sel = jax.lax.top_k(cand_sims, k_merge)
         return vals, jnp.take_along_axis(cand_ids, sel, axis=1)
 
-    return shard_map(
+    sims, ids = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(db_p, queries)
+    if sims.shape[1] < k:  # k exceeded the database: FAISS-style padding
+        pad = k - sims.shape[1]
+        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    return sims, ids
 
 
 @functools.partial(

@@ -356,3 +356,24 @@ def test_slices_mmseqs_baseline_with_fake(tmp_path, monkeypatch):
     assert out["search_seconds"] >= 0
     assert out["n_queries_with_hits"] == 2
     assert set(out["hits"]) == {0, 1}
+
+
+def test_cath_search_cli(tmp_path):
+    rng = np.random.RandomState(10)
+    np.save(tmp_path / "M.npy", rng.randn(30, 8).astype(np.float32))
+    cath.main(["--data", str(tmp_path), "--hits", "4"])
+    assert (tmp_path / "hits_cosine.npz").exists()
+    assert (tmp_path / "hits_euclidean.npz").exists()
+
+
+def test_proteins_search_cli(tmp_path):
+    from knn_for_homology_tpu.pipelines.pfam_proteins import main as ps_main
+
+    rng = np.random.RandomState(11)
+    np.save(tmp_path / "full_sequences.npy", rng.randn(120, 16).astype(np.float16))
+    ps_main(["flat", "--data", str(tmp_path), "--k", "20"])
+    hits = np.load(tmp_path / "full_sequences_flat_hits.npy")
+    assert hits.shape == (120, 20)
+    assert (tmp_path / "full_sequences_flat.index").exists()
+    # rerun reuses the persisted index
+    ps_main(["flat", "--data", str(tmp_path), "--k", "20"])

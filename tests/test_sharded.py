@@ -53,3 +53,16 @@ def test_db_sharded_uneven_rows(mesh8):
     sims, ids = db_sharded_topk(jnp.asarray(db), jnp.asarray(q), 5, mesh8, metric="ip")
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
     assert np.all(np.asarray(ids) < 101)
+
+
+def test_db_sharded_k_exceeds_database(mesh8):
+    rng = np.random.RandomState(14)
+    db = rng.randn(20, 8).astype(np.float32)
+    q = rng.randn(3, 8).astype(np.float32)
+    sims, ids = db_sharded_topk(jnp.asarray(db), jnp.asarray(q), 50, mesh8, metric="ip")
+    assert ids.shape == (3, 50)
+    ids = np.asarray(ids)
+    assert np.all(ids[:, 20:] == -1)
+    # first 20 are the whole database
+    for row in ids[:, :20]:
+        assert sorted(row.tolist()) == list(range(20))
