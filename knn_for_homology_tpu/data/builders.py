@@ -76,8 +76,12 @@ def make_pfam_subset(
                 last_family = family
             protein_id, domain_range = header[: header.find(" ")].split("/")
             entries.append((protein_id, domain_range, sequence))
-        if last_family is not None:
-            flush(entries, last_family, out_train, out_test)
+        # NOTE: the final family is deliberately NOT flushed — the reference
+        # generator only samples a family when the next family's header
+        # appears, so the last family of Pfam-A is always dropped
+        # (reference: seqvec_search/make_pfam_subset.py:50-77). Mirroring
+        # that quirk keeps the seeded RNG call sequence, and therefore the
+        # published subsets, reproducible byte-for-byte.
 
     (data / "extract_test.json").write_text(json.dumps(domain_extract_test))
     (data / "extract_train.json").write_text(json.dumps(domain_extract_train))

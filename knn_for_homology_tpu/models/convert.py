@@ -281,9 +281,20 @@ def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
 
 
 def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
-    """bilm-tf weights.hdf5 → our pytree. Gate order in bilm-tf is
-    [input, cell, forget, output] with +1 forget bias; ours is
-    [input, forget, cell, output] — columns are permuted on the way in."""
+    """bilm-tf weights.hdf5 → our pytree.
+
+    Conventions handled on the way in:
+      * gate order: bilm-tf stores [input, cell, forget, output]; ours is
+        [input, forget, cell, output] — columns permuted.
+      * forget bias: TF's LSTMCell(forget_bias=1.0) adds +1 to the f gate at
+        RUNTIME; the dumped B tensor does not contain it, so +1 is added to
+        the forget block here (AllenNLP's converter does the same).
+      * highway gate: bilm-tf computes y = c·x + (1−c)·relu(...) with a
+        carry gate c; our highway (models/elmo.py) uses a transform gate
+        g = 1−c applied to the relu branch, so W_carry/b_carry are negated
+        (sigmoid(−z) = 1 − sigmoid(z)). TF kernels are already [in, out] —
+        the same orientation our matmuls use — so nothing is transposed.
+    """
     import h5py
     import jax.numpy as jnp
 
@@ -326,11 +337,13 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
             ],
             "highways": [
                 {
-                    # bilm stores carry-gate weights; ours is a transform gate
+                    # carry gate → transform gate: negate; TF kernels are
+                    # already [in, out] so no transpose (square matrices —
+                    # a wrong transpose would not shape-error)
                     "w_gate": jnp.asarray(
                         -np.asarray(
                             fp[f"CNN_high_{i}/W_carry"], dtype=np.float32
-                        ).T
+                        )
                     ),
                     "b_gate": jnp.asarray(
                         -np.asarray(fp[f"CNN_high_{i}/b_carry"], dtype=np.float32)
@@ -338,7 +351,7 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
                     "w_lin": jnp.asarray(
                         np.asarray(
                             fp[f"CNN_high_{i}/W_transform"], dtype=np.float32
-                        ).T
+                        )
                     ),
                     "b_lin": jnp.asarray(
                         np.asarray(fp[f"CNN_high_{i}/b_transform"], dtype=np.float32)
@@ -361,6 +374,11 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
                 b = np.asarray(fp[f"{base}/B"], dtype=np.float32)
                 proj = np.asarray(fp[f"{base}/W_P_0"], dtype=np.float32)
                 in_dim = w.shape[0] - config.proj_dim
+                bias = reorder_gates(b, config.lstm_dim)
+                # TF LSTMCell adds forget_bias=1.0 at runtime, not in B
+                h = config.lstm_dim
+                bias = bias.copy()
+                bias[h : 2 * h] += 1.0
                 cells.append(
                     {
                         "w_x": jnp.asarray(
@@ -369,7 +387,7 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
                         "w_h": jnp.asarray(
                             reorder_gates(w[in_dim:], config.lstm_dim)
                         ),
-                        "b": jnp.asarray(reorder_gates(b, config.lstm_dim)),
+                        "b": jnp.asarray(bias),
                         "w_proj": jnp.asarray(proj),
                     }
                 )

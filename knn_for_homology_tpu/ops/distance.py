@@ -27,6 +27,14 @@ METRICS = ("cosine", "ip", "l2")
 EXACT_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Zero-pad axis 0 up to a multiple (shared by every tiled engine)."""
+    rem = (-x.shape[0]) % multiple
+    if rem == 0:
+        return x
+    return jnp.pad(x, ((0, rem), (0, 0)))
+
+
 def l2_normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     """Row-wise L2 normalisation. Matches faiss.normalize_L2: zero rows are
     left untouched (no NaNs)."""

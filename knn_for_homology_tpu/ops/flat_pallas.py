@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .distance import pad_rows
+
 NEG_INF = float(-jnp.inf)
 MAX_PALLAS_K = 32
 
@@ -133,8 +135,8 @@ def pallas_flat_topk(
     ):
         db_tile //= 2
 
-    db_p = _pad_rows(db, db_tile)
-    q_p = _pad_rows(queries, query_block)
+    db_p = pad_rows(db, db_tile)
+    q_p = pad_rows(queries, query_block)
     grid = (q_p.shape[0] // query_block, db_p.shape[0] // db_tile)
 
     kernel = functools.partial(
@@ -189,8 +191,3 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    rem = (-x.shape[0]) % multiple
-    if rem == 0:
-        return x
-    return jnp.pad(x, ((0, rem), (0, 0)))

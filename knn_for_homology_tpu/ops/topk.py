@@ -25,17 +25,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .distance import similarity_block
+from .distance import pad_rows, similarity_block
 
 NEG_INF = jnp.float32(-jnp.inf)
-
-
-def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    n = x.shape[0]
-    rem = (-n) % multiple
-    if rem == 0:
-        return x
-    return jnp.pad(x, ((0, rem), (0, 0)))
 
 
 @functools.partial(
@@ -60,7 +52,7 @@ def streaming_topk(
     n, d = db.shape
     q = queries.shape[0]
     db_tile = min(db_tile, max(128, 1 << (n - 1).bit_length()))
-    padded = _pad_rows(db, db_tile)
+    padded = pad_rows(db, db_tile)
     n_pad = padded.shape[0]
     num_tiles = n_pad // db_tile
     tiles = padded.reshape(num_tiles, db_tile, d)
@@ -160,6 +152,11 @@ def flat_topk(
     queries = jnp.asarray(queries)
     n = db.shape[0]
     q_n = queries.shape[0]
+    if q_n == 0:
+        return (
+            jnp.zeros((0, k), jnp.float32),
+            jnp.zeros((0, k), jnp.int32),
+        )
     # shrink the query block until the one-shot buffer fits
     qb = min(query_block, q_n) or 1
     while qb > 256 and qb * n * 4 > ONESHOT_SIM_BYTES:

@@ -115,15 +115,12 @@ class ShardedFlatIndex:
         sims, ids = db_sharded_topk(
             self._db.astype(jnp.float32),
             q,
-            min(k, self.ntotal),
+            k,  # k > ntotal pads FAISS-style inside db_sharded_topk
             flat_mesh,
             metric=search_metric,
+            n_valid=self.ntotal,  # _db arrives pre-padded from finalize()
         )
-        ids = np.asarray(ids)
-        sims = np.asarray(finalize_scores(sims, search_metric))
-        valid = ids < self.ntotal  # padding shards can never win, but guard
-        ids = np.where(valid, ids, -1)
-        return sims, ids
+        return np.asarray(finalize_scores(sims, search_metric)), np.asarray(ids)
 
     def _flat_mesh(self) -> Mesh:
         """db_sharded_topk merges over DATA_AXIS; collapse (dcn, data) into
@@ -303,5 +300,10 @@ class ShardedGraphIndex:
             out_specs=(P(), P()),
             check_vma=False,
         )(self._db, self._graphs, q)
-        sims = np.asarray(finalize_scores(sims, search_metric))
-        return sims, np.asarray(ids)
+        sims, ids = np.asarray(sims), np.asarray(ids)
+        if sims.shape[1] < k:  # k exceeded the database: FAISS-style padding
+            pad = k - sims.shape[1]
+            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        sims = np.asarray(finalize_scores(jnp.asarray(sims), search_metric))
+        return sims, ids

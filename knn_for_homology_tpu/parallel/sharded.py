@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.distance import pad_rows
 from ..ops.topk import ONESHOT_SIM_BYTES, oneshot_topk, streaming_topk
 from .mesh import DATA_AXIS
 
@@ -37,15 +38,9 @@ def _local_topk(db_shard, q, k, metric, db_tile, approx):
     )
 
 
-def _pad_rows_np(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    rem = (-x.shape[0]) % multiple
-    if rem == 0:
-        return x
-    return jnp.pad(x, ((0, rem), (0, 0)))
-
-
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "mesh", "db_tile", "approx")
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "db_tile", "approx", "n_valid"),
 )
 def db_sharded_topk(
     db: jnp.ndarray,
@@ -55,16 +50,18 @@ def db_sharded_topk(
     metric: str = "cosine",
     db_tile: int = 8192,
     approx: bool = False,
+    n_valid: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k with the database sharded over the mesh's data axis.
 
     db [N, d] (padded internally to a multiple of the axis size; padded rows
     lose with -inf), queries [Q, d] replicated. Returns global
     (sims [Q, k] desc, ids [Q, k]) equal to the single-device result.
+    Pass `n_valid` when db arrives pre-padded (rows ≥ n_valid never win).
     """
-    n = db.shape[0]
+    n = n_valid if n_valid is not None else db.shape[0]
     n_shards = mesh.shape[DATA_AXIS]
-    db_p = _pad_rows_np(db, n_shards)
+    db_p = pad_rows(db, n_shards)
     shard_rows = db_p.shape[0] // n_shards
 
     def local(db_shard, q):
@@ -118,7 +115,7 @@ def query_sharded_topk(
     axis size; padded query rows are dropped before returning."""
     q_n = queries.shape[0]
     n_shards = mesh.shape[DATA_AXIS]
-    q_p = _pad_rows_np(queries, n_shards)
+    q_p = pad_rows(queries, n_shards)
 
     def local(db_rep, q_shard):
         return _local_topk(db_rep, q_shard, k, metric, db_tile, approx)

@@ -112,12 +112,18 @@ class CathEvaluation:
         self,
         hits_per_method: Dict[str, np.ndarray],
         bootstrap: bool = False,
+        correct_per_method: Optional[Dict[str, np.ndarray]] = None,
     ) -> List[Tuple]:
         """Method → (QrawTop1, QnormTop1[, ±raw, ±norm]) records sorted by
-        QnormTop1 (reference: cath/cath.py:478-563)."""
+        QnormTop1 (reference: cath/cath.py:478-563). Pass precomputed
+        correctness tensors to avoid recomputation."""
         records = []
         for name, results in hits_per_method.items():
-            correct_all = self.compute_is_correct(results)
+            correct_all = (
+                correct_per_method[name]
+                if correct_per_method is not None
+                else self.compute_is_correct(results)
+            )
             raw, norm = self.top1(correct_all)
             if bootstrap:
                 fams = self.mapping_array[self.is_possible, 0]
@@ -177,22 +183,27 @@ def evaluate_and_report(
     hits_per_method = dict(np.load(cath_data / f"hits_{metric}.npz"))
     scores_per_method = dict(np.load(cath_data / f"scores_{metric}.npz"))
 
-    records = evaluation.accuracy_table(hits_per_method, bootstrap=bootstrap)
+    # correctness tensors are the expensive part — compute once per method
+    correct_per_method = {
+        name: evaluation.compute_is_correct(hits)
+        for name, hits in hits_per_method.items()
+    }
+    records = evaluation.accuracy_table(
+        hits_per_method, bootstrap=bootstrap,
+        correct_per_method=correct_per_method,
+    )
     (figures_dir / "accuracies.md").write_text(
         evaluation.format_table(records) + "\n"
     )
     report = {"accuracies": records}
 
-    per_level = {
-        name: evaluation.per_level_accuracy(
-            evaluation.compute_is_correct(hits)
-        )
-        for name, hits in hits_per_method.items()
+    report["per_level"] = {
+        name: evaluation.per_level_accuracy(correct)
+        for name, correct in correct_per_method.items()
     }
-    report["per_level"] = per_level
 
     best_name = records[0][0]
-    best_correct = evaluation.compute_is_correct(hits_per_method[best_name])
+    best_correct = correct_per_method[best_name]
     best_scores = scores_per_method[best_name][:, 0]
 
     # per-CATH-class imbalance stats (reference: cath/cath.py:250-292)
@@ -200,10 +211,7 @@ def evaluate_and_report(
     report["class_imbalance"] = analysis.class_imbalance_table(
         class_codes,
         evaluation.is_possible,
-        {
-            name: evaluation.compute_is_correct(hits)[:, 0, 0]
-            for name, hits in hits_per_method.items()
-        },
+        {name: c[:, 0, 0] for name, c in correct_per_method.items()},
     )
 
     # superfamily-size vs accuracy scatter (reference: cath/cath.py:296-326)

@@ -313,18 +313,23 @@ class GraphIndex:
             "beam_width": self.beam_width,
             "expand": self.expand,
             "n_entry": self.n_entry,
+            "iters": self.iters if self.iters is not None else -1,
+            "build": self.build,
             "vectors": np.asarray(self._db),
             "graph": np.asarray(self._graph),
         }
 
     @classmethod
     def from_state(cls, state: dict) -> "GraphIndex":
+        iters = int(state["iters"]) if "iters" in state else -1
         index = cls(
             metric=str(state["metric"]),
             degree=int(state["degree"]),
             beam_width=int(state["beam_width"]),
             expand=int(state["expand"]),
             n_entry=int(state["n_entry"]),
+            iters=None if iters < 0 else iters,
+            build=str(state["build"]) if "build" in state else "auto",
         )
         index._db = jnp.asarray(state["vectors"])
         index._graph = jnp.asarray(state["graph"])

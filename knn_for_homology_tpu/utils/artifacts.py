@@ -53,7 +53,10 @@ def cached_array(
         return np.load(path)
     result = np.asarray(compute())
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.save(path, result)
+    # np.save(str) appends .npy when missing; a file handle keeps the exact
+    # name so the existence check above finds it again
+    with open(path, "wb") as fp:
+        np.save(fp, result)
     if key is not None:
         key_file.write_text(key)
     return result

@@ -82,3 +82,52 @@ def test_create_index_cli(synthetic_dataset):
     q = np.load(synthetic_dataset / "test.npy")
     ids, scores, _ = knn_search(loaded, q, hits=5)
     assert ids.shape == (q.shape[0], 5)
+
+
+def test_graph_persistence_keeps_search_settings(tmp_path):
+    """iters/build must round-trip (a restored index must search with the
+    same iteration budget it was saved with)."""
+    from knn_for_homology_tpu.search import GraphIndex
+
+    rng = np.random.RandomState(60)
+    db = rng.randn(120, 16).astype(np.float32)
+    index = GraphIndex(metric="cosine", degree=8, beam_width=32, iters=64).add(db)
+    write_index(index, tmp_path / "g.idx")
+    loaded = read_index(tmp_path / "g.idx")
+    assert loaded.iters == 64
+    assert loaded.build == "auto"
+
+
+def test_sharded_flat_k_exceeds_ntotal():
+    from knn_for_homology_tpu.parallel import ShardedFlatIndex, make_pod_mesh
+
+    rng = np.random.RandomState(61)
+    db = rng.randn(30, 8).astype(np.float32)
+    mesh = make_pod_mesh(n_ici=4, n_dcn=2)
+    index = ShardedFlatIndex(mesh, metric="cosine").add(db).finalize()
+    scores, ids = index.search(rng.randn(3, 8).astype(np.float32), 50)
+    assert ids.shape == (3, 50)
+    assert np.all(ids[:, 30:] == -1)
+
+
+def test_flat_search_empty_queries():
+    rng = np.random.RandomState(62)
+    index = FlatIndex(metric="ip").add(rng.randn(10, 4).astype(np.float32))
+    scores, ids = index.search(np.zeros((0, 4), np.float32), 3)
+    assert scores.shape == (0, 3)
+    assert ids.shape == (0, 3)
+
+
+def test_cached_array_non_npy_suffix(tmp_path):
+    from knn_for_homology_tpu.utils.artifacts import cached_array
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return np.arange(4)
+
+    out1 = cached_array(tmp_path / "hits.dat", compute)
+    out2 = cached_array(tmp_path / "hits.dat", compute)
+    np.testing.assert_array_equal(out1, out2)
+    assert len(calls) == 1  # the exact-name file must be found again
