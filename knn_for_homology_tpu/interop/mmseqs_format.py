@@ -258,12 +258,17 @@ def results_to_array(
     sentinel_e_value: float = SENTINEL_E_VALUE,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pad ragged per-query hits to rectangles; padding gets E = sentinel
-    (reference: mmseqs/_read_results_db.py:178-196)."""
+    (reference: mmseqs/_read_results_db.py:178-196).
+
+    Deviation from the reference: hit-id padding is -1 (the engine-wide
+    missing-hit sentinel) instead of numpy's default 0 — 0 is a real train
+    row, and our evaluators consume hit ids directly (the reference only
+    ever evaluated separately padded correctness arrays)."""
     max_hits = max(len(h) for h in hits.values())
     hit_rows, ev_rows = [], []
     for i in range(len(hits)):
         pad = max_hits - len(hits[i])
-        hit_rows.append(np.pad(hits[i], (0, pad)))
+        hit_rows.append(np.pad(hits[i], (0, pad), constant_values=-1))
         ev_rows.append(
             np.pad(e_values[i], (0, pad), constant_values=sentinel_e_value)
         )

@@ -31,15 +31,19 @@ class BertConfig:
     d_ff: int = 5120
     num_layers: int = 33
     num_heads: int = 20
-    max_positions: int = 1024
+    max_positions: int = 1026
     pre_norm: bool = True  # ESM1b style; False = BERT/ALBERT post-LN
     share_layers: bool = False  # ALBERT
     layer_norm_eps: float = 1e-5
+    # first usable row of the learned position table: fairseq's
+    # LearnedPositionalEmbedding starts real tokens at padding_idx+1=2
+    # (its table has max_positions + pad_idx + 1 rows), BERT starts at 0
+    position_offset: int = 0
     dtype: Any = jnp.float32
 
 
 # reference model shapes (weights via conversion; names match the registry)
-ESM1B = BertConfig()
+ESM1B = BertConfig(position_offset=2)
 PROTBERT = BertConfig(
     vocab_size=30, d_model=1024, d_ff=4096, num_layers=30, num_heads=16,
     max_positions=40000, pre_norm=False,
@@ -109,7 +113,8 @@ def encode(
 ) -> jnp.ndarray:
     l = token_ids.shape[1]
     x = params["embedding"][token_ids]
-    x = x + params["position_embedding"][:l][None]
+    off = config.position_offset
+    x = x + params["position_embedding"][off : off + l][None]
     if "emb_ln" in params:
         x = layer_norm(
             x, params["emb_ln"], params["emb_ln_b"], config.layer_norm_eps
@@ -188,4 +193,22 @@ def tokenize_esm(sequence: str, max_len: int = 1022) -> np.ndarray:
     for aa in sequence[:max_len].upper():
         ids.append(ESM_VOCAB.get(aa, ESM_UNK))
     ids.append(ESM_EOS)
+    return np.asarray(ids, dtype=np.int32)
+
+
+# ProtBert/ProtAlbert (Rostlab) WordPiece vocabulary:
+# [PAD] [UNK] [CLS] [SEP] [MASK] then residues by frequency. ProtAlbert's
+# sentencepiece table should be read from its converted tokenizer if it
+# differs; this published ProtBert order is the default for both.
+BERT_TOKENS = "LAGVESIKRDTPNQFYMHCWXUBZO"
+BERT_VOCAB = {aa: i + 5 for i, aa in enumerate(BERT_TOKENS)}
+BERT_PAD, BERT_UNK, BERT_CLS, BERT_SEP = 0, 1, 2, 3
+
+
+def tokenize_bert(sequence: str, max_len: int = 39998) -> np.ndarray:
+    """[CLS] + residues + [SEP] (BERT-family pLMs)."""
+    ids = [BERT_CLS]
+    for aa in sequence[:max_len].upper():
+        ids.append(BERT_VOCAB.get(aa, BERT_UNK))
+    ids.append(BERT_SEP)
     return np.asarray(ids, dtype=np.int32)

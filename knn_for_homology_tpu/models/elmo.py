@@ -69,16 +69,28 @@ def tokenize(sequence: str) -> np.ndarray:
 
 # --- CharCNN → residue lookup table ------------------------------------------
 
-BOW, EOW, CHAR_PAD = 258, 259, 260  # ELMo char conventions (byte id + 1)
+# bilm-tf character conventions (raw byte values for characters; the special
+# ids live above the byte range — the converted char_embed table is indexed
+# with exactly these raw ids, so no +1 shift as AllenNLP's mapper applies to
+# ITS re-padded table):
+BOS_CHAR, EOS_CHAR = 256, 257  # <S> / </S> sentence-boundary "words"
+BOW, EOW, CHAR_PAD = 258, 259, 260
 MAX_WORD_CHARS = 8  # a residue word is [BOW, char, EOW] + padding
+
+# lookup-table rows appended after the residue alphabet for the boundary
+# words AllenNLP always runs the bi-LSTMs through
+BOS_ID = len(AA_ORDER)
+EOS_ID = len(AA_ORDER) + 1
 
 
 def _char_ids_for_alphabet() -> np.ndarray:
-    """[vocab, MAX_WORD_CHARS] ELMo char ids for each single-residue word."""
-    out = np.full((len(AA_ORDER), MAX_WORD_CHARS), CHAR_PAD, dtype=np.int32)
-    for i, aa in enumerate(AA_ORDER):
+    """[vocab+2, MAX_WORD_CHARS] bilm-tf char ids: one single-char word per
+    residue plus the <S>/</S> boundary words."""
+    words = [ord(aa) for aa in AA_ORDER] + [BOS_CHAR, EOS_CHAR]
+    out = np.full((len(words), MAX_WORD_CHARS), CHAR_PAD, dtype=np.int32)
+    for i, char_id in enumerate(words):
         out[i, 0] = BOW
-        out[i, 1] = ord(aa) + 1
+        out[i, 1] = char_id
         out[i, 2] = EOW
     return out
 
@@ -155,21 +167,42 @@ def encode(
     mask: jnp.ndarray,  # [B, L] bool
     config: ElmoConfig,
 ) -> jnp.ndarray:
-    """→ [3, B, L, 2*proj_dim] layer activations (CharCNN, LSTM1, LSTM2)."""
-    table = char_cnn_table(params, config)  # [V, proj]
+    """→ [3, B, L, 2*proj_dim] layer activations (CharCNN, LSTM1, LSTM2).
+
+    As in AllenNLP's ElmoEmbedder (what the reference's bio_embeddings ran),
+    the bi-LSTMs process the sequence wrapped in <S>/</S> boundary words,
+    whose positions are stripped from every output layer."""
+    b, l = token_ids.shape
+    table = char_cnn_table(params, config)  # [V+2, proj]
+    lengths = jnp.sum(mask, axis=1)  # [B]
+
+    # extended sequence: <S> x_1 … x_len </S> (EOS at a per-row position)
+    pos = jnp.arange(l + 2)[None, :]
+    ids_ext = jnp.pad(token_ids, ((0, 0), (1, 1)))
+    ids_ext = jnp.where(pos == 0, BOS_ID, ids_ext)
+    ids_ext = jnp.where(pos == lengths[:, None] + 1, EOS_ID, ids_ext)
+    mask_ext = pos <= lengths[:, None] + 1
+    repr_ext = table[ids_ext] * mask_ext[..., None].astype(config.dtype)
+
     token_repr = table[token_ids] * mask[..., None].astype(config.dtype)
     layer0 = jnp.concatenate([token_repr, token_repr], axis=-1)
 
-    fwd_in, bwd_in = token_repr, _reverse_padded(token_repr, mask)
+    fwd_in, bwd_in = repr_ext, _reverse_padded(repr_ext, mask_ext)
     layers = [layer0]
+    mask_f = mask[..., None].astype(config.dtype)
     for li in range(config.n_lstm_layers):
-        fwd = _lstm_scan(fwd_in, mask, params["lstm_fwd"][li], config)
-        bwd = _lstm_scan(bwd_in, mask, params["lstm_bwd"][li], config)
+        fwd = _lstm_scan(fwd_in, mask_ext, params["lstm_fwd"][li], config)
+        bwd = _lstm_scan(bwd_in, mask_ext, params["lstm_bwd"][li], config)
         if li > 0:  # ELMo residual connections between LSTM layers
             fwd = fwd + fwd_in
             bwd = bwd + bwd_in
+        bwd_aligned = _reverse_padded(bwd, mask_ext)
+        # strip the boundary positions; zero the padding
         layers.append(
-            jnp.concatenate([fwd, _reverse_padded(bwd, mask)], axis=-1)
+            jnp.concatenate(
+                [fwd[:, 1 : l + 1] * mask_f, bwd_aligned[:, 1 : l + 1] * mask_f],
+                axis=-1,
+            )
         )
         fwd_in, bwd_in = fwd, bwd
     return jnp.stack(layers, axis=0)

@@ -233,21 +233,30 @@ class BertEmbedder(EmbedderBase):
             )
         self.dim = self.config.d_model
         self.token_budget = token_budget
-        # ESM1b's learned positions cap usable length at max_positions-2
-        self.max_len = self.config.max_positions - 2
+        # learned positions cap the usable token count (cls + residues + eos)
+        usable = self.config.max_positions - self.config.position_offset
+        self.max_len = usable - 2
+        # each arch family has its own vocabulary + special ids
+        if arch in ("ESM", "ESM1b"):
+            self._tokenize = bert.tokenize_esm
+            self._pad_id = bert.ESM_PAD
+        else:  # ProtBert / ProtAlbert (BERT WordPiece layout)
+            self._tokenize = bert.tokenize_bert
+            self._pad_id = bert.BERT_PAD
 
     def embed_per_residue(self, sequences):
         results: List[Optional[np.ndarray]] = [None] * len(sequences)
-        bucket = min(128, self.config.max_positions)
+        usable = self.config.max_positions - self.config.position_offset
+        bucket = min(128, usable)
         for batch in make_batches(
             sequences, self.token_budget, self.max_len, bucket=bucket
         ):
             tokens = [
-                bert.tokenize_esm(s, self.max_len) for s in batch.sequences
+                self._tokenize(s, self.max_len) for s in batch.sequences
             ]
-            # learned positions cap the padded length at max_positions
-            target = min(batch.padded_len + 2, self.config.max_positions)
-            ids, mask = pad_tokens(tokens, target, bert.ESM_PAD)
+            # learned positions cap the padded length
+            target = min(batch.padded_len + 2, usable)
+            ids, mask = pad_tokens(tokens, target, self._pad_id)
             hidden = np.asarray(
                 bert.encode_jit(
                     self.params, jnp.asarray(ids), jnp.asarray(mask), self.config

@@ -17,15 +17,19 @@ import numpy as np
 
 Params = Dict[str, Any]
 
-# UniRep amino-acid vocabulary (babbler convention: specials then residues)
-UNIREP_AAS = "MRHKDESTNQCUGPAVIFYWLOXZBJ"
-UNIREP_VOCAB = {aa: i + 3 for i, aa in enumerate(UNIREP_AAS)}
-UNIREP_START, UNIREP_STOP, UNIREP_PAD = 1, 2, 0
+# UniRep babbler-1900 aa_to_int layout (churchlab/UniRep): pad=0, residues
+# M..L at 1..21, O=22, rare (X/Z/B/J)→23, start=24, stop=25
+UNIREP_AAS = "MRHKDESTNQCUGPAVIFYWL"
+UNIREP_VOCAB = {aa: i + 1 for i, aa in enumerate(UNIREP_AAS)}
+UNIREP_VOCAB["O"] = 22
+for _rare in "XZBJ":
+    UNIREP_VOCAB[_rare] = 23
+UNIREP_PAD, UNIREP_START, UNIREP_STOP = 0, 24, 25
 
 
 @dataclass(frozen=True)
 class UniRepConfig:
-    vocab_size: int = 30
+    vocab_size: int = 26
     embed_dim: int = 10
     hidden_dim: int = 1900
     dtype: Any = jnp.float32

@@ -65,8 +65,11 @@ BLOSUM62 = np.asarray(
     dtype=np.float32,
 )
 
-GAP_OPEN = 11.0  # cost of a length-1 gap (BLAST existence 11, extension 1)
-GAP_EXT = 1.0
+# BLAST/MMseqs2 convention for BLOSUM62(11,1): a length-k gap costs
+# existence + k·extension = 11 + k (so a length-1 gap costs 12) — the
+# Karlin-Altschul parameters below are calibrated to exactly this scheme.
+GAP_OPEN = 11.0  # gap existence
+GAP_EXT = 1.0  # per-residue extension (charged for every gap column)
 
 # Karlin-Altschul gapped parameters for BLOSUM62(11,1) (BLAST defaults)
 KA_LAMBDA = 0.267
@@ -106,15 +109,16 @@ def sw_scores(
         sub = jnp.take(blosum_flat, qi_safe[None, :] * n_aa + t_safe)
         sub = jnp.where(t_pad | (qi < 0)[None, :], NEG, sub)
         diag = jnp.pad(h_prev[:-1], ((1, 0), (0, 0)))
-        # vertical gap (gap in target / deletion): depends on previous row
-        f_new = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
+        # vertical gap (gap in target / deletion): depends on previous row;
+        # opening costs existence + one extension (11 + 1)
+        f_new = jnp.maximum(h_prev - (GAP_OPEN + GAP_EXT), f_prev - GAP_EXT)
         h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
         # horizontal gap via prefix max-scan (exact for affine costs):
-        # E[j] = max_{k<j} H0[k] - GAP_OPEN - (j-k-1)·GAP_EXT
+        # E[j] = max_{k<j} H0[k] - GAP_OPEN - (j-k)·GAP_EXT
         a = h0 + j_idx * GAP_EXT
         prefix = jax.lax.associative_scan(jnp.maximum, a, axis=0)
         prefix = jnp.pad(prefix[:-1], ((1, 0), (0, 0)), constant_values=NEG)
-        e_new = prefix - (GAP_OPEN - GAP_EXT) - j_idx * GAP_EXT
+        e_new = prefix - GAP_OPEN - j_idx * GAP_EXT
         h_new = jnp.maximum(h0, e_new)
         best = jnp.maximum(best, jnp.max(h_new, axis=0))
         return (h_new, f_new, best), None

@@ -93,7 +93,7 @@ class ShardedFlatIndex:
         self._db = jax.device_put(
             db, NamedSharding(self.mesh, P(axes, None))
         )
-        self._chunks = [np.zeros((0, db.shape[1]), dtype=self.dtype)]
+        # keep the host chunks: add() after finalize() must not lose rows
         return self
 
     def search(

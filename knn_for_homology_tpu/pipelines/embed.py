@@ -52,6 +52,17 @@ logger = logging.getLogger(__name__)
 def _make_embedder(name: str, checkpoint: Optional[Path], **kw):
     if name == "AA Composition":
         return AACompositionEmbedder()
+    import functools
+    import inspect
+
+    ctor = EMBEDDERS[name] if name in EMBEDDERS else None
+    if ctor is None:
+        return get_embedder(name, checkpoint=checkpoint, **kw)
+    # embedder constructors accept different knobs (token_budget /
+    # max_batch_tokens / max_len …) — pass only what each one takes
+    target = ctor.func if isinstance(ctor, functools.partial) else ctor
+    accepted = set(inspect.signature(target.__init__).parameters)
+    kw = {k: v for k, v in kw.items() if k in accepted}
     return get_embedder(name, checkpoint=checkpoint, **kw)
 
 

@@ -62,8 +62,11 @@ def align_rescore(
     e_values: Dict[str, np.ndarray] = {}
     pair_query_idx = np.asarray(pair_query_idx)
     pair_hit_row = np.asarray(pair_hit_row)
+    # pairs were appended in query order → one split, not Q full scans
+    counts = np.bincount(pair_query_idx, minlength=len(dataset.test_ids))
+    bounds = np.concatenate([[0], np.cumsum(counts)])
     for qi in range(len(dataset.test_ids)):
-        sel = np.nonzero(pair_query_idx == qi)[0]
+        sel = np.arange(bounds[qi], bounds[qi + 1])
         if len(sel) == 0:
             hits[dataset.test_ids[qi]] = []
             e_values[dataset.test_ids[qi]] = np.zeros(0, np.float32)

@@ -24,8 +24,13 @@ def sw_oracle(q: str, t: str) -> float:
     best = 0.0
     for i in range(1, lq + 1):
         for j in range(1, lt + 1):
-            e[i][j] = max(h[i][j - 1] - GAP_OPEN, e[i][j - 1] - GAP_EXT)
-            f[i][j] = max(h[i - 1][j] - GAP_OPEN, f[i - 1][j] - GAP_EXT)
+            # BLAST convention: length-k gap costs GAP_OPEN + k*GAP_EXT
+            e[i][j] = max(
+                h[i][j - 1] - (GAP_OPEN + GAP_EXT), e[i][j - 1] - GAP_EXT
+            )
+            f[i][j] = max(
+                h[i - 1][j] - (GAP_OPEN + GAP_EXT), f[i - 1][j] - GAP_EXT
+            )
             h[i][j] = max(
                 0.0,
                 h[i - 1][j - 1] + BLOSUM62[qi[i - 1], ti[j - 1]],

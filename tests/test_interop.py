@@ -159,7 +159,8 @@ def test_hybrid_align_rescore(reference_data_dir):
     auc1s, tps = evaluate_string_results(ds, hits.items())
     mean_auc1, mean_tp = np.mean(auc1s), np.mean(tps)
     # measured: the native SW hybrid reproduces the reference's mmseqs
-    # golden exactly (0.8925 / 0.91); assert with a small robustness margin
+    # golden closely (measured 0.8895 vs mmseqs 0.8925; TP identical) under
+    # BLAST-faithful gap costs; assert with a small robustness margin
     assert mean_auc1 >= 0.885, mean_auc1
     assert mean_tp >= 0.905, mean_tp
 

@@ -28,7 +28,7 @@ def test_benchmark_cli_native_aligner(reference_data_dir, tmp_path, monkeypatch)
     knn_auc1 = np.mean(results[0][1])
     align_auc1 = np.mean(results[1][1])
     assert knn_auc1 == 0.871  # golden
-    assert align_auc1 >= 0.885  # native SW hybrid (measured 0.8925)
+    assert align_auc1 >= 0.885  # native SW hybrid (measured 0.8895)
 
 
 def test_cath_search_and_save(tmp_path):
