@@ -204,6 +204,8 @@ def assemble_slices(
         picked: Set[str] = set()
         is_correct: List[bool] = []
         for hit in ranked[:k]:
+            if hit < 0:  # FAISS-style missing-hit padding
+                continue
             hit_protein = slice_proteins[int(hit)]
             if hit_protein in picked:
                 continue

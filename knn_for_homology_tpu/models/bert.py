@@ -48,6 +48,10 @@ PROTBERT = BertConfig(
     vocab_size=30, d_model=1024, d_ff=4096, num_layers=30, num_heads=16,
     max_positions=40000, pre_norm=False,
 )
+# NOTE: real ProtAlbert additionally uses a factorized [vocab, 128]
+# embedding projected to the hidden size — not representable here yet, so
+# the registry gates "ProtAlbert BFD" as unsupported; this shape config
+# documents the target for a future conversion.
 PROTALBERT = BertConfig(
     vocab_size=34, d_model=4096, d_ff=16384, num_layers=12, num_heads=64,
     max_positions=40000, pre_norm=False, share_layers=True,

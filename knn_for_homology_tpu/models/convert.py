@@ -289,11 +289,13 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
       * forget bias: TF's LSTMCell(forget_bias=1.0) adds +1 to the f gate at
         RUNTIME; the dumped B tensor does not contain it, so +1 is added to
         the forget block here (AllenNLP's converter does the same).
-      * highway gate: bilm-tf computes y = c·x + (1−c)·relu(...) with a
-        carry gate c; our highway (models/elmo.py) uses a transform gate
-        g = 1−c applied to the relu branch, so W_carry/b_carry are negated
-        (sigmoid(−z) = 1 − sigmoid(z)). TF kernels are already [in, out] —
-        the same orientation our matmuls use — so nothing is transposed.
+      * highway gate: bilm-tf computes y = g·relu(W_tr·x) + (1−g)·x with
+        g = sigmoid(W_carry·x + b_carry) — the gate multiplies the TRANSFORM
+        branch despite the "carry" name (AllenNLP's converter comment: "tf
+        is (1 - g) * x + g * f(x)"; AllenNLP negates only because ITS gate
+        multiplies x). Our highway (models/elmo.py) also gates the relu
+        branch, so W_carry/b_carry load verbatim: no negation, and TF
+        kernels are already [in, out] so no transpose either.
     """
     import h5py
     import jax.numpy as jnp
@@ -337,16 +339,15 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
             ],
             "highways": [
                 {
-                    # carry gate → transform gate: negate; TF kernels are
-                    # already [in, out] so no transpose (square matrices —
-                    # a wrong transpose would not shape-error)
+                    # gate loads verbatim (see docstring); square matrices —
+                    # a wrong transpose/negation would not shape-error
                     "w_gate": jnp.asarray(
-                        -np.asarray(
+                        np.asarray(
                             fp[f"CNN_high_{i}/W_carry"], dtype=np.float32
                         )
                     ),
                     "b_gate": jnp.asarray(
-                        -np.asarray(fp[f"CNN_high_{i}/b_carry"], dtype=np.float32)
+                        np.asarray(fp[f"CNN_high_{i}/b_carry"], dtype=np.float32)
                     ),
                     "w_lin": jnp.asarray(
                         np.asarray(

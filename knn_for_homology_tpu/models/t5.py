@@ -201,7 +201,11 @@ def _attention_blockwise(x, params, mask, config: T5Config):
             scores = jnp.where(m_chunk[:, None, None, :], scores, -1e9)
             new_max = jnp.maximum(running_max, scores.max(axis=-1))
             correction = jnp.exp(running_max - new_max)
-            p = jnp.exp(scores - new_max[..., None])
+            # zero masked keys: if every key so far is masked, exp(0)=1
+            # would silently average masked values
+            p = jnp.exp(scores - new_max[..., None]) * m_chunk[
+                :, None, None, :
+            ].astype(jnp.float32)
             acc = acc * correction[..., None] + jnp.einsum(
                 "bhlm,bmhd->bhld", p, v_chunk_arr.astype(jnp.float32)
             )

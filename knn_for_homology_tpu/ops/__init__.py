@@ -9,6 +9,8 @@ __all__ = [
     "align_pairs",
     "sw_scores",
     "flash_attention_t5",
+    "flat_topk",
+    "oneshot_topk",
     "hamming_topk",
     "l2_normalize",
     "similarity_block",

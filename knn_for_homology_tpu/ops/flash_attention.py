@@ -84,7 +84,9 @@ def _flash_kernel(
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
     correction = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)
+    # zero masked keys explicitly: when every key so far is masked the
+    # running max equals the mask fill and exp(0)=1 would average garbage
+    p = jnp.exp(scores - m_new) * kv_mask[None, :].astype(jnp.float32)
     l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0, 0],

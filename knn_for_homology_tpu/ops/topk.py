@@ -41,6 +41,7 @@ def streaming_topk(
     db_tile: int = 8192,
     approx: bool = False,
     recall_target: float = 0.95,
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k similarities of every query against the whole database.
 
@@ -48,6 +49,8 @@ def streaming_topk(
     Returns (sims [Q, k] fp32 descending, ids [Q, k] int32). Padded database
     rows can never win (their similarity is -inf); if k > N the surplus slots
     hold id -1 with -inf similarity, mirroring FAISS's missing-hit sentinel.
+    `n_valid` (may be a traced scalar, e.g. per-shard inside shard_map)
+    excludes rows ≥ n_valid from winning.
     """
     n, d = db.shape
     q = queries.shape[0]
@@ -58,11 +61,12 @@ def streaming_topk(
     tiles = padded.reshape(num_tiles, db_tile, d)
 
     k_eff = min(k, n)
+    bound = n if n_valid is None else jnp.minimum(n_valid, n)
 
     q_sq = jnp.sum(jnp.square(queries), axis=-1) if metric == "l2" else None
 
     def select(sims_block, ids_block, kk):
-        if approx and metric != "l2":
+        if approx:  # internal sims are bigger-is-better for every metric
             vals, idx = jax.lax.approx_max_k(
                 sims_block, kk, recall_target=recall_target
             )
@@ -74,11 +78,12 @@ def streaming_topk(
         best_vals, best_ids = carry
         tile, tile_idx = inputs
         sims = similarity_block(queries, tile, metric, q_sq)
-        # mask out padded database rows
+        # mask out padded / invalid database rows BEFORE selection (a pad
+        # row's 0-vector can outscore real rows, e.g. negative cosines)
         row_ids = tile_idx * db_tile + jax.lax.broadcasted_iota(
             jnp.int32, (q, db_tile), 1
         )
-        sims = jnp.where(row_ids < n, sims, NEG_INF)
+        sims = jnp.where(row_ids < bound, sims, NEG_INF)
         merged_vals = jnp.concatenate([best_vals, sims], axis=1)
         merged_ids = jnp.concatenate([best_ids, row_ids], axis=1)
         best_vals, best_ids = select(merged_vals, merged_ids, k_eff)
@@ -107,18 +112,23 @@ def oneshot_topk(
     metric: str = "cosine",
     approx: bool = False,
     recall_target: float = 0.95,
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single [Q, N] similarity block + one full-row selection.
 
     The fastest formulation when Q·N·4 bytes fits in HBM: the selection sees
     the whole row at once (one top_k / approx_max_k instead of N/tile merge
-    steps), and XLA pipelines it against the matmul.
+    steps), and XLA pipelines it against the matmul. Rows ≥ n_valid (traced
+    scalar allowed) are excluded before selection.
     """
     n = db.shape[0]
     q = queries.shape[0]
     k_eff = min(k, n)
     q_sq = jnp.sum(jnp.square(queries), axis=-1) if metric == "l2" else None
     sims = similarity_block(queries, db, metric, q_sq)
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+        sims = jnp.where(col < n_valid, sims, NEG_INF)
     if approx:
         vals, ids = jax.lax.approx_max_k(sims, k_eff, recall_target=recall_target)
     else:

@@ -28,6 +28,22 @@ from .sharded import db_sharded_topk
 DCN_AXIS = "dcn"
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Total database shards of a (possibly dcn×data) mesh."""
+    size = mesh.shape[DATA_AXIS]
+    if DCN_AXIS in mesh.shape:
+        size *= mesh.shape[DCN_AXIS]
+    return size
+
+
+def flatten_mesh(mesh: Mesh) -> Mesh:
+    """Collapse a (dcn, data) pod mesh into one data axis (same device
+    order) for shard_maps that merge over a single axis."""
+    if DCN_AXIS not in mesh.shape:
+        return mesh
+    return Mesh(mesh.devices.reshape(-1), (DATA_AXIS,))
+
+
 def make_pod_mesh(
     n_ici: Optional[int] = None, n_dcn: int = 1
 ) -> Mesh:
@@ -70,10 +86,7 @@ class ShardedFlatIndex:
         return self
 
     def _data_axis_size(self) -> int:
-        size = self.mesh.shape[DATA_AXIS]
-        if DCN_AXIS in self.mesh.shape:
-            size *= self.mesh.shape[DCN_AXIS]
-        return size
+        return data_axis_size(self.mesh)
 
     def finalize(self) -> "ShardedFlatIndex":
         """Concatenate chunks, pad to the axis size, and place the shards
@@ -123,12 +136,7 @@ class ShardedFlatIndex:
         return np.asarray(finalize_scores(sims, search_metric)), np.asarray(ids)
 
     def _flat_mesh(self) -> Mesh:
-        """db_sharded_topk merges over DATA_AXIS; collapse (dcn, data) into
-        one data axis of the same device order."""
-        if DCN_AXIS not in self.mesh.shape:
-            return self.mesh
-        devices = self.mesh.devices.reshape(-1)
-        return Mesh(devices, (DATA_AXIS,))
+        return flatten_mesh(self.mesh)
 
     # --- shard spill -------------------------------------------------------
     def save_shards(self, directory: Path) -> None:
@@ -215,9 +223,7 @@ class ShardedGraphIndex:
         if self.metric == "cosine":
             v = np.asarray(l2_normalize(v))
         self._n = v.shape[0]
-        n_shards = self.mesh.shape[DATA_AXIS]
-        if DCN_AXIS in self.mesh.shape:
-            n_shards *= self.mesh.shape[DCN_AXIS]
+        n_shards = data_axis_size(self.mesh)
         pad = (-self._n) % n_shards
         if pad:
             v = np.pad(v, ((0, pad), (0, 0)))
@@ -245,9 +251,7 @@ class ShardedGraphIndex:
         return self
 
     def _flat_mesh(self) -> Mesh:
-        if DCN_AXIS not in self.mesh.shape:
-            return self.mesh
-        return Mesh(self.mesh.devices.reshape(-1), (DATA_AXIS,))
+        return flatten_mesh(self.mesh)
 
     def search(
         self, queries: np.ndarray, k: int
@@ -276,10 +280,12 @@ class ShardedGraphIndex:
 
         def local(db_s, graph_s, q_rep):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
+            # this shard's pad rows must lose inside the beam itself
+            n_local = jnp.clip(n - shard_idx * rows, 0, rows)
             sims, ids = beam_search(
                 db_s[0], graph_s[0], q_rep, entry, k_local,
                 beam_width=beam, expand=self.expand, iters=iters,
-                metric=search_metric,
+                metric=search_metric, n_valid=n_local,
             )
             gids = jnp.where(ids >= 0, ids + shard_idx * rows, -1)
             valid = (gids >= 0) & (gids < n)

@@ -28,13 +28,18 @@ from ..ops.topk import ONESHOT_SIM_BYTES, oneshot_topk, streaming_topk
 from .mesh import DATA_AXIS
 
 
-def _local_topk(db_shard, q, k, metric, db_tile, approx):
+def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
     """Trace-time strategy pick for the shard-local search (see ops/topk.py:
-    one-shot is much faster whenever the [Q, shard] block fits)."""
+    one-shot is much faster whenever the [Q, shard] block fits). `n_valid`
+    masks this shard's pad rows BEFORE selection — a pad row's 0-vector can
+    outscore real rows (negative cosines; l2 distance to the origin)."""
     if q.shape[0] * db_shard.shape[0] * 4 <= ONESHOT_SIM_BYTES:
-        return oneshot_topk(db_shard, q, k, metric=metric, approx=approx)
+        return oneshot_topk(
+            db_shard, q, k, metric=metric, approx=approx, n_valid=n_valid
+        )
     return streaming_topk(
-        db_shard, q, k, metric=metric, db_tile=db_tile, approx=approx
+        db_shard, q, k, metric=metric, db_tile=db_tile, approx=approx,
+        n_valid=n_valid,
     )
 
 
@@ -67,10 +72,11 @@ def db_sharded_topk(
     def local(db_shard, q):
         shard_idx = jax.lax.axis_index(DATA_AXIS)
         row0 = shard_idx * shard_rows
-        # local top-k; mask padded rows via global-id bound
+        # pad rows of this shard must lose inside the local selection
+        n_local = jnp.clip(n - row0, 0, shard_rows)
         sims, ids = _local_topk(
             db_shard, q, min(k, shard_rows), metric,
-            min(db_tile, shard_rows), approx,
+            min(db_tile, shard_rows), approx, n_valid=n_local,
         )
         gids = jnp.where(ids >= 0, ids + row0, -1)
         valid = (gids >= 0) & (gids < n)

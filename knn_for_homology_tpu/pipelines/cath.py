@@ -252,15 +252,21 @@ def evaluate_and_report(
             figures_dir, "combining-mmseqs-and-knn-raw-data",
             cutoffs=cutoffs, simple=simple, combined=combined,
         )
+        # annotation order: best first — descending similarity for cosine,
+        # ascending squared distance for euclidean
+        sort_key = (
+            best_scores if metric in ("euclidean", "l2") else -best_scores
+        )
         x, y = analysis.coverage_accuracy(
             top1[evaluation.is_possible],
-            -best_scores[evaluation.is_possible],
+            sort_key[evaluation.is_possible],
         )
         save_raw(figures_dir, "coverage-vs-accuracy-data", x=x, y=y)
-        report["correlation"] = analysis.score_evalue_correlation(
-            best_scores[evaluation.is_possible],
-            e_values[evaluation.is_possible],
-        )
+        if metric == "cosine":  # the reference's correlation is cosine↔E
+            report["correlation"] = analysis.score_evalue_correlation(
+                best_scores[evaluation.is_possible],
+                e_values[evaluation.is_possible],
+            )
     return report
 
 

@@ -100,12 +100,15 @@ def run(
     index_file: Optional[Path] = None,
     k: int = 1000,
     mmseqs_results: Optional[Dict] = None,
+    knn_e_values: Optional[List[np.ndarray]] = None,
     figures_dir: Optional[Path] = None,
 ) -> Dict[str, float]:
     """Full-protein workload. `mmseqs_results` (optional):
     {"hits": [Q ragged arrays], "e_values": [...]} from the bridge —
-    unlocks the merged ranking + combined AUC1 and the calibration/coverage
-    figure data (reference: pfam/proteins.py:213-240, 335-372, 502-729)."""
+    together with `knn_e_values` (real alignment E-values of the kNN hits,
+    from search.rescore.align_rescore) unlocks the merged ranking + combined
+    AUC1 (reference: pfam/proteins.py:213-240, 335-372) and the
+    calibration/coverage figure data (reference: proteins.py:502-729)."""
     embeddings = np.load(full_sequences_npy)
     result = build_and_search(embeddings, index_mode, index_file, k + 1)
     # lossy-ANN self-hit repair (reference: pfam/proteins.py:85-122)
@@ -140,23 +143,28 @@ def run(
             rank_accuracy=correct.mean(axis=0),
         )
 
-    if mmseqs_results is not None:
-        # merged kNN+MMseqs ranking by E-value (reference: proteins.py:629-667)
-        # — kNN hits get rank-preserving pseudo-E-values below the real ones
-        knn_evs = [
-            np.arange(len(row), dtype=np.float64) * 1e-12 + 1e-6
-            for row in hits
-        ]
-        # family-free protein ground truth → codes by identity
-        id_index = {p: i for i, p in enumerate(full_sequences_ids)}
+    if mmseqs_results is not None and knn_e_values is None:
+        logger.warning(
+            "merged ranking skipped: pass knn_e_values (real alignment "
+            "E-values from search.rescore.align_rescore) — the reference's "
+            "merge (proteins.py:629-667) interleaves by actual E-values and "
+            "pseudo-values would misorder against MMseqs2's"
+        )
+    if mmseqs_results is not None and knn_e_values is not None:
+        # merged kNN+MMseqs ranking by E-value (reference: proteins.py:629-667);
+        # knn_e_values[qi] aligns with hits[qi] row order — each side is
+        # E-sorted before the two-pointer interleave
         merged_auc1s = []
         for qi, q in enumerate(full_sequences_ids):
             truth = homologous.get(q, set())
             denom = max(len(truth), 1)
             picked = set()
             auc1 = 0
-            a_h = [int(h) for h in hits[qi] if h >= 0]
-            a_e = knn_evs[qi][: len(a_h)]
+            real = [int(h) for h in hits[qi] if h >= 0]
+            evs_row = np.asarray(knn_e_values[qi])[: len(real)]
+            order = np.argsort(evs_row, kind="stable")
+            a_h = [real[o] for o in order]
+            a_e = evs_row[order]
             b_h = [int(h) for h in mmseqs_results["hits"][qi]]
             b_e = np.asarray(mmseqs_results["e_values"][qi])
             i = j = 0

@@ -49,6 +49,7 @@ def beam_search(
     expand: int = 4,
     iters: int = 24,
     metric: str = "cosine",
+    n_valid=None,  # traced scalar: rows ≥ n_valid never score (shard pads)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search. Returns (sims [Q, k] desc, ids [Q, k])."""
     q_n, d = queries.shape
@@ -64,6 +65,8 @@ def beam_search(
             v_sq = jnp.sum(jnp.square(vecs), axis=-1)
             q_sq = jnp.sum(jnp.square(queries), axis=-1, keepdims=True)
             s = 2.0 * s - v_sq - q_sq
+        if n_valid is not None:
+            s = jnp.where(ids < n_valid, s, NEG_INF)
         return s
 
     # init beam with the shared entry points

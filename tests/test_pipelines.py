@@ -316,9 +316,12 @@ def test_pfam_proteins_run_with_merge_and_figures(tmp_path):
         mates = [j for j in range(n) if fams[j] == fams[i] and j != i]
         mm_hits.append(np.asarray(mates[:2]))
         mm_evs.append(np.asarray([1e-30, 1e-20]))
+    # kNN "alignment" E-values aligned with each hits row (rank-increasing)
+    knn_evs = [np.arange(12, dtype=np.float64) * 1e-3 + 1e-8 for _ in range(n)]
     metrics = pfam_proteins.run(
         npy, ids, p2d, index_mode="flat", k=12,
         mmseqs_results={"hits": mm_hits, "e_values": mm_evs},
+        knn_e_values=knn_evs,
         figures_dir=tmp_path / "figs",
     )
     assert metrics["auc1"] > 0.9
