@@ -62,6 +62,7 @@ def main() -> None:
 
     if args.quick:
         args.n, args.d, args.k, args.db_tile, args.q_block = 2048, 128, 100, 512, 512
+    args.q_block = min(args.q_block, args.n)  # small-n runs stay valid
     args.n -= args.n % args.q_block  # whole query blocks only
     args.approx = not args.exact
 

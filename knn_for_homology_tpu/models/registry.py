@@ -333,30 +333,39 @@ class UnsupportedEmbedder(EmbedderBase):
 
 
 class AACompositionEmbedder(EmbedderBase):
-    """Amino-acid-composition baseline (reference: cath/embed_all.py:23-44):
-    one-hot over the alphabet observed in the input, mean over residues."""
+    """Amino-acid-composition baseline (reference: cath/embed_all.py:23-44).
+
+    The reference derives the alphabet from its single combined fasta; a
+    per-call alphabet would put train and test (embedded in separate CLI
+    invocations) into incompatible vector spaces, so the default here is
+    the fixed 25-letter extended alphabet. Unknown characters map to 'X'.
+    """
 
     name = "AA Composition"
+    DEFAULT_ALPHABET = "ABCDEFGHIKLMNOPQRSTUVWXYZ"  # sorted, stable
 
     def __init__(self, alphabet: Optional[str] = None):
-        self.alphabet = alphabet
+        self.alphabet = alphabet or self.DEFAULT_ALPHABET
+
+    def _table(self):
+        table = {aa: i for i, aa in enumerate(self.alphabet)}
+        fallback = table.get("X", 0)
+        return table, fallback
 
     def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
-        alphabet = self.alphabet or "".join(sorted(set("".join(sequences))))
-        table = {aa: i for i, aa in enumerate(alphabet)}
-        out = np.zeros((len(sequences), len(alphabet)), dtype=np.float32)
+        table, fallback = self._table()
+        out = np.zeros((len(sequences), len(self.alphabet)), dtype=np.float32)
         for row, seq in enumerate(sequences):
-            for aa in seq:
-                out[row, table[aa]] += 1.0
+            for aa in seq.upper():
+                out[row, table.get(aa, fallback)] += 1.0
             out[row] /= max(len(seq), 1)
         return out
 
     def embed_per_residue(self, sequences):
-        alphabet = self.alphabet or "".join(sorted(set("".join(sequences))))
-        table = {aa: i for i, aa in enumerate(alphabet)}
-        eye = np.eye(len(alphabet), dtype=np.float32)
+        table, fallback = self._table()
+        eye = np.eye(len(self.alphabet), dtype=np.float32)
         for seq in sequences:
-            yield np.stack([eye[table[aa]] for aa in seq])
+            yield np.stack([eye[table.get(aa, fallback)] for aa in seq.upper()])
 
 
 import functools as _functools

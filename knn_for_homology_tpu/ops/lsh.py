@@ -45,6 +45,18 @@ def unpack_signs(packed: np.ndarray, nbits: int) -> np.ndarray:
     return (bits.astype(np.int8) * 2 - 1).astype(np.int8)
 
 
+def _sign_ip(q_signs: jnp.ndarray, tile: jnp.ndarray) -> jnp.ndarray:
+    """int8 ±1 inner product on the MXU — maximising it minimises Hamming
+    (H = (nbits − s_q·s_db) / 2)."""
+    ip = jax.lax.dot_general(
+        q_signs,
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return ip.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "db_tile"))
 def hamming_topk(
     db_signs: jnp.ndarray,
@@ -57,42 +69,20 @@ def hamming_topk(
     db_signs [N, nbits] int8 ±1, q_signs [Q, nbits] int8 ±1.
     Returns (hamming [Q, k] float32 ascending, ids [Q, k] int32), id -1 / +inf
     for missing hits — FAISS's convention of returning distances as floats.
+    The tile-scan/merge machinery is ops/topk.streaming_topk with the int8
+    similarity plugged in.
     """
+    from .topk import streaming_topk
+
     n, nbits = db_signs.shape
-    q = q_signs.shape[0]
     k_eff = min(k, n)
-    db_tile = min(db_tile, max(128, n))
-
-    rem = (-n) % db_tile
-    padded = jnp.pad(db_signs, ((0, rem), (0, 0))) if rem else db_signs
-    num_tiles = padded.shape[0] // db_tile
-    tiles = padded.reshape(num_tiles, db_tile, nbits)
-
-    def step(carry, inputs):
-        best_vals, best_ids = carry
-        tile, tile_idx = inputs
-        ip = jax.lax.dot_general(
-            q_signs,
-            tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        sims = ip.astype(jnp.float32)  # maximise ip == minimise Hamming
-        row_ids = tile_idx * db_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (q, db_tile), 1
-        )
-        sims = jnp.where(row_ids < n, sims, NEG_INF)
-        merged_vals = jnp.concatenate([best_vals, sims], axis=1)
-        merged_ids = jnp.concatenate([best_ids, row_ids], axis=1)
-        vals, sel = jax.lax.top_k(merged_vals, k_eff)
-        return (vals, jnp.take_along_axis(merged_ids, sel, axis=1)), None
-
-    init = (
-        jnp.full((q, k_eff), NEG_INF, dtype=jnp.float32),
-        jnp.full((q, k_eff), -1, dtype=jnp.int32),
-    )
-    (vals, ids), _ = jax.lax.scan(
-        step, init, (tiles, jnp.arange(num_tiles, dtype=jnp.int32))
+    vals, ids = streaming_topk(
+        db_signs,
+        q_signs,
+        k_eff,
+        metric="ip",
+        db_tile=min(db_tile, max(128, n)),
+        sim_fn=_sign_ip,
     )
     hamming = (nbits - vals) * 0.5
     if k_eff < k:

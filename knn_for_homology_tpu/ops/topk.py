@@ -31,7 +31,10 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "db_tile", "approx", "recall_target")
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "db_tile", "approx", "recall_target", "sim_fn"
+    ),
 )
 def streaming_topk(
     db: jnp.ndarray,
@@ -42,6 +45,7 @@ def streaming_topk(
     approx: bool = False,
     recall_target: float = 0.95,
     n_valid=None,
+    sim_fn=None,  # custom (queries, tile) → bigger-is-better sims override
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k similarities of every query against the whole database.
 
@@ -77,7 +81,11 @@ def streaming_topk(
     def step(carry, inputs):
         best_vals, best_ids = carry
         tile, tile_idx = inputs
-        sims = similarity_block(queries, tile, metric, q_sq)
+        sims = (
+            sim_fn(queries, tile)
+            if sim_fn is not None
+            else similarity_block(queries, tile, metric, q_sq)
+        )
         # mask out padded / invalid database rows BEFORE selection (a pad
         # row's 0-vector can outscore real rows, e.g. negative cosines)
         row_ids = tile_idx * db_tile + jax.lax.broadcasted_iota(

@@ -95,10 +95,16 @@ class CathEvaluation:
 
     def compute_is_correct(self, results: np.ndarray) -> np.ndarray:
         """[Q, 4, k] level-match tensor (reference: cath/cath.py:76-90),
-        vectorised: compare every hit's level codes with the query's."""
-        hit_levels = self.mapping_array[results]  # [Q, k, 4]
+        vectorised: compare every hit's level codes with the query's.
+        FAISS-style -1 padding counts as wrong at every level (raw indexing
+        would wrap to the last domain's codes)."""
+        results = np.asarray(results)
+        safe = np.clip(results, 0, len(self.mapping_array) - 1)
+        hit_levels = self.mapping_array[safe]  # [Q, k, 4]
         query_levels = self.mapping_array[:, None, :]  # [Q, 1, 4]
-        return np.swapaxes(hit_levels == query_levels, 1, 2)
+        correct = hit_levels == query_levels
+        correct &= (results >= 0)[:, :, None]
+        return np.swapaxes(correct, 1, 2)
 
     def top1(self, is_correct_all: np.ndarray) -> Tuple[float, float]:
         """(QrawTop1, QnormTop1) of the first non-self hit at H level
@@ -179,6 +185,8 @@ def evaluate_and_report(
     cath_data = Path(cath_data)
     figures_dir = Path(figures_dir)
     figures_dir.mkdir(parents=True, exist_ok=True)
+    if metric == "l2":  # search_and_save writes the reference's file name
+        metric = "euclidean"
     evaluation = CathEvaluation.from_data_dir(cath_data, domain_list)
     hits_per_method = dict(np.load(cath_data / f"hits_{metric}.npz"))
     scores_per_method = dict(np.load(cath_data / f"scores_{metric}.npz"))
@@ -254,9 +262,7 @@ def evaluate_and_report(
         )
         # annotation order: best first — descending similarity for cosine,
         # ascending squared distance for euclidean
-        sort_key = (
-            best_scores if metric in ("euclidean", "l2") else -best_scores
-        )
+        sort_key = best_scores if metric == "euclidean" else -best_scores
         x, y = analysis.coverage_accuracy(
             top1[evaluation.is_possible],
             sort_key[evaluation.is_possible],

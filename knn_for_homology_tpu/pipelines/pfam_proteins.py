@@ -72,10 +72,13 @@ def evaluate_protein_hits(
     protein_ids: List[str],
     homologous: Dict[str, Set[str]],
     recall_k: int = 300,
-) -> Dict[str, float]:
+    return_flags: bool = False,
+):
     """Protein-level AUC1 + recall@k with set-based ground truth
-    (reference: pfam/proteins_shared.py:139-157: max(len,1) guards)."""
-    auc1s, recalls = [], []
+    (reference: pfam/proteins_shared.py:139-157: max(len,1) guards).
+    With return_flags the per-hit correctness matrix comes back too (it is
+    the expensive part; callers reuse it for calibration figures)."""
+    auc1s, recalls, flag_rows = [], [], []
     for qi, row in enumerate(np.asarray(hits)):
         query = protein_ids[qi]
         truth = homologous.get(query, set())
@@ -86,10 +89,14 @@ def evaluate_protein_hits(
         leading = int(np.argmin(flags)) if not flags.all() else len(flags)
         auc1s.append(min(leading, denom) / denom)
         recalls.append(flags[:recall_k].sum() / denom)
-    return {
+        flag_rows.append(flags)
+    metrics = {
         "auc1": float(np.mean(auc1s)),
         f"recall@{recall_k}": float(np.mean(recalls)),
     }
+    if return_flags:
+        return metrics, np.asarray(flag_rows)
+    return metrics
 
 
 def run(
@@ -117,19 +124,11 @@ def run(
     )
     logger.info("%d missing self hits", bogus)
     homologous = get_homologous_proteins(protein_to_domain)
-    metrics = evaluate_protein_hits(hits, full_sequences_ids, homologous)
+    metrics, correct = evaluate_protein_hits(
+        hits, full_sequences_ids, homologous, return_flags=True
+    )
     metrics["build_seconds"] = result["build_seconds"]
     metrics["search_seconds"] = result["search_seconds"]
-
-    correct = np.asarray(
-        [
-            [
-                h >= 0 and full_sequences_ids[h] in homologous.get(q, set())
-                for h in row
-            ]
-            for q, row in zip(full_sequences_ids, hits)
-        ]
-    )
     if figures_dir is not None:
         from ..eval.figures import save_raw
 

@@ -288,7 +288,12 @@ class GraphIndex:
             q = l2_normalize(q)
         beam = max(self.beam_width, k)
         # default iteration budget: enough expansions to fill the beam
-        iters = self.iters or max(8, beam // max(self.expand, 1) // 2)
+        # (`is None`, not falsy: iters=0 legitimately skips expansion)
+        iters = (
+            self.iters
+            if self.iters is not None
+            else max(8, beam // max(self.expand, 1) // 2)
+        )
         sims, ids = beam_search(
             self._db,
             self._graph,

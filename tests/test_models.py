@@ -126,10 +126,21 @@ def test_pool_domain_range_one_based_inclusive():
 
 
 def test_aa_composition_baseline():
-    embedder = get_embedder("AA Composition")
+    embedder = get_embedder("AA Composition", alphabet="AB")
     out = embedder.embed_pooled(["AAB", "BBB"])
     np.testing.assert_allclose(out[0], [2 / 3, 1 / 3])
     np.testing.assert_allclose(out[1], [0.0, 1.0])
+
+
+def test_aa_composition_stable_across_calls():
+    """Train and test embedded separately must share one vector space."""
+    embedder = get_embedder("AA Composition")
+    a = embedder.embed_pooled(["ACD"])   # no W anywhere
+    b = embedder.embed_pooled(["WWW"])   # only W
+    assert a.shape[1] == b.shape[1]
+    alphabet = embedder.alphabet
+    assert b[0, alphabet.index("W")] == 1.0
+    assert a[0, alphabet.index("A")] > 0
 
 
 def test_registry_errors():
