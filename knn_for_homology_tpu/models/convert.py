@@ -196,18 +196,26 @@ def convert_t5_from_hf(
 
 
 def load_t5_checkpoint(path: Path):
-    """Load a converted .npz (or convert an HF directory in place)."""
-    import jax.numpy as jnp
+    """Load a converted .npz (or convert an HF directory in place).
 
+    Returns (config, params, vocab): `vocab` is the residue→token-id table
+    stored in the checkpoint's meta (key "vocab") when the source
+    tokenizer's sentencepiece ordering differs from the published prot_t5
+    layout, else None (callers fall back to t5.PROTT5_VOCAB)."""
     import jax
+    import jax.numpy as jnp
 
     path = Path(path)
     if path.is_dir():
-        return convert_t5_from_hf(path)
+        config, params = convert_t5_from_hf(path)
+        return config, params, None
     params, meta = load_params(path)
     config = T5Config(**{**meta.get("config", {}), "dtype": jnp.bfloat16})
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype=config.dtype), params)
-    return config, params
+    vocab = meta.get("vocab")
+    if vocab is not None:
+        vocab = {str(k): int(v) for k, v in vocab.items()}
+    return config, params, vocab
 
 
 # --- HF BERT (ProtBert-style) → BertConfig params --------------------------------

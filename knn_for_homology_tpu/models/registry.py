@@ -66,13 +66,16 @@ class ProtT5Embedder(EmbedderBase):
         max_len: int = MAX_SEQ_LEN,
         l2_per_residue: bool = False,
     ):
+        self.vocab = None  # default = published prot_t5 layout
         if params is not None:
             self.config = config or t5.PROTT5_XL
             self.params = params
         elif checkpoint is not None:
             from .convert import load_t5_checkpoint
 
-            self.config, self.params = load_t5_checkpoint(checkpoint)
+            self.config, self.params, self.vocab = load_t5_checkpoint(
+                checkpoint
+            )
         else:
             raise ValueError(
                 f"{self.name}: no checkpoint installed — pass `checkpoint=` "
@@ -84,7 +87,7 @@ class ProtT5Embedder(EmbedderBase):
         self.l2_per_residue = l2_per_residue
 
     def _run_batch(self, batch: Batch) -> List[np.ndarray]:
-        tokens = [t5.tokenize(s) for s in batch.sequences]
+        tokens = [t5.tokenize(s, self.vocab) for s in batch.sequences]
         ids, mask = pad_tokens(tokens, batch.padded_len, t5.PAD_ID)
         hidden = t5.encode_jit(
             self.params, jnp.asarray(ids), jnp.asarray(mask), self.config
@@ -107,7 +110,7 @@ class ProtT5Embedder(EmbedderBase):
         pool = l2_then_mean_pool_jit if self.l2_per_residue else mean_pool_jit
         results: List[Optional[np.ndarray]] = [None] * len(sequences)
         for batch in make_batches(sequences, self.token_budget, self.max_len):
-            tokens = [t5.tokenize(s) for s in batch.sequences]
+            tokens = [t5.tokenize(s, self.vocab) for s in batch.sequences]
             ids, mask = pad_tokens(tokens, batch.padded_len, t5.PAD_ID)
             # mask out EOS for pooling: pool over residues only
             res_mask = mask.copy()

@@ -113,7 +113,11 @@ def _attention(x, params, bias, mask, config: T5Config):
     scores = scores + bias
     scores = jnp.where(mask[:, None, None, :], scores, -1e9)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+    # fp32 PV accumulation, matching the blockwise/flash paths so neighbour
+    # ranks don't depend on which attention formulation a length bucket hit
+    ctx = jnp.einsum(
+        "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     out = jnp.einsum("blk,kd->bld", ctx.reshape(b, l, h * dk), params["o"])
     return x + out
 
@@ -153,7 +157,9 @@ def _attention_blockwise(x, params, mask, config: T5Config):
     Query chunks scan over key/value chunks carrying the online-softmax
     state (running max, normaliser, weighted-value accumulator); the T5
     relative-position bias is materialised per (q-chunk, k-chunk) block only.
-    Numerically equal to dense attention (both accumulate in fp32)."""
+    Matches dense attention to fp32 rounding (2e-4 tested in fp32 configs;
+    bf16 configs agree at bf16 granularity — both paths accumulate PV in
+    fp32 and cast once)."""
     b, l, _ = x.shape
     h, dk = config.num_heads, config.d_kv
     chunk = min(config.attention_chunk, l)
@@ -325,8 +331,10 @@ def init_params(config: T5Config, seed: int = 0) -> Params:
 # --- ProtT5 tokenisation -----------------------------------------------------
 # ProtT5 sentencepiece vocabulary: one token per residue. Rare residues
 # U, Z, O, B are mapped to X before tokenisation (bio_embeddings does the
-# same). Converted checkpoints carry their tokenizer's own table; this is the
-# published prot_t5 layout used as the default.
+# same). This is the published prot_t5 layout; a converted checkpoint whose
+# tokenizer differs should store its table under meta["vocab"]
+# (models/convert.save_params), which load_t5_checkpoint returns and
+# ProtT5Embedder then uses.
 PAD_ID, EOS_ID, UNK_ID = 0, 1, 2
 PROTT5_RESIDUE_ORDER = "ALGVSREDTIPKFQNYMHWC"  # ids 3..22
 PROTT5_VOCAB = {aa: i + 3 for i, aa in enumerate(PROTT5_RESIDUE_ORDER)}

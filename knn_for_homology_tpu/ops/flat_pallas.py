@@ -122,6 +122,11 @@ def pallas_flat_topk(
         interpret = jax.default_backend() != "tpu"
     n, d = db.shape
     q_n = queries.shape[0]
+    if q_n == 0:
+        return (
+            jnp.zeros((0, k), jnp.float32),
+            jnp.zeros((0, k), jnp.int32),
+        )
     k_eff = min(k, n)
 
     db_tile = min(db_tile, _round_up(n, 128))

@@ -226,7 +226,12 @@ class ShardedGraphIndex:
         n_shards = data_axis_size(self.mesh)
         pad = (-self._n) % n_shards
         if pad:
-            v = np.pad(v, ((0, pad), (0, 0)))
+            # pad with wrapped REAL rows, not zeros: zero vectors would
+            # occupy adjacency slots in the last shard's graph (cosine 0.0
+            # beats negative sims) and degrade its connectivity; wrapped
+            # rows are legitimate graph nodes and n_valid keeps them out of
+            # the results
+            v = np.pad(v, ((0, pad), (0, 0)), mode="wrap")
         rows = v.shape[0] // n_shards
         dbs, graphs = [], []
         for s in range(n_shards):

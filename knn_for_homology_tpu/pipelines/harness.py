@@ -39,10 +39,11 @@ def hit_count_sweep(
     (reference: figures/novel_benchmark.py:34-59). Returns one record per
     count: {hits, auc1, tp, search_time, align_time}."""
     records = []
+    queries = data.load_test()
     for hits in hit_counts:
         k = min(hits, index.ntotal)
         start = time.time()
-        scores, ids = index.search(data.load_test(), k)
+        scores, ids = index.search(queries, k)
         search_time = time.time() - start
         if rescore:
             aligned, _, align_time = align_rescore(data, ids)

@@ -112,8 +112,10 @@ def run(
 ) -> Dict[str, float]:
     """Full-protein workload. `mmseqs_results` (optional):
     {"hits": [Q ragged arrays], "e_values": [...]} from the bridge —
-    together with `knn_e_values` (real alignment E-values of the kNN hits,
-    from search.rescore.align_rescore) unlocks the merged ranking + combined
+    together with `knn_e_values` (real alignment E-values aligned with each
+    hits row — produce them with search.rescore.align_evalues_row_aligned;
+    align_rescore's dict output is E-sorted/filtered and does NOT align)
+    unlocks the merged ranking + combined
     AUC1 (reference: pfam/proteins.py:213-240, 335-372) and the
     calibration/coverage figure data (reference: proteins.py:502-729)."""
     embeddings = np.load(full_sequences_npy)
@@ -144,8 +146,9 @@ def run(
 
     if mmseqs_results is not None and knn_e_values is None:
         logger.warning(
-            "merged ranking skipped: pass knn_e_values (real alignment "
-            "E-values from search.rescore.align_rescore) — the reference's "
+            "merged ranking skipped: pass knn_e_values (row-aligned real "
+            "alignment E-values from "
+            "search.rescore.align_evalues_row_aligned) — the reference's "
             "merge (proteins.py:629-667) interleaves by actual E-values and "
             "pseudo-values would misorder against MMseqs2's"
         )

@@ -20,6 +20,38 @@ from ..data.fasta import read_fasta
 from ..ops.align import align_pairs
 
 
+def align_evalues_row_aligned(
+    dataset: Dataset,
+    hit_rows: np.ndarray,
+    pair_batch: int = 2048,
+) -> np.ndarray:
+    """[Q, k] alignment E-values aligned with hit_rows' column order
+    (missing hits get +inf) — the input `pipelines.pfam_proteins.run`
+    expects for its merged ranking (align_rescore's dict output is E-sorted
+    and cutoff-filtered, NOT row-aligned)."""
+    train_seqs = read_fasta(dataset.train_sequences)
+    test_seqs = read_fasta(dataset.test_sequences)
+    db_residues = float(sum(len(s) for s in train_seqs.values()))
+    hit_rows = np.asarray(hit_rows)
+    q_n, k = hit_rows.shape
+    pair_q, pair_t, positions = [], [], []
+    for qi, row in enumerate(hit_rows):
+        q_seq = test_seqs[dataset.test_ids[qi]]
+        for col, hit in enumerate(row):
+            if hit < 0:
+                continue
+            pair_q.append(q_seq)
+            pair_t.append(train_seqs[dataset.train_ids[hit]])
+            positions.append((qi, col))
+    _, evs = align_pairs(
+        pair_q, pair_t, db_residues=db_residues, pair_batch=pair_batch
+    )
+    out = np.full((q_n, k), np.inf, dtype=np.float64)
+    for (qi, col), ev in zip(positions, evs):
+        out[qi, col] = ev
+    return out
+
+
 def align_rescore(
     dataset: Dataset,
     hit_rows: np.ndarray,
@@ -60,8 +92,8 @@ def align_rescore(
 
     hits: Dict[str, List[str]] = {}
     e_values: Dict[str, np.ndarray] = {}
-    pair_query_idx = np.asarray(pair_query_idx)
-    pair_hit_row = np.asarray(pair_hit_row)
+    pair_query_idx = np.asarray(pair_query_idx, dtype=np.int64)
+    pair_hit_row = np.asarray(pair_hit_row, dtype=np.int64)
     # pairs were appended in query order → one split, not Q full scans
     counts = np.bincount(pair_query_idx, minlength=len(dataset.test_ids))
     bounds = np.concatenate([[0], np.cumsum(counts)])

@@ -362,3 +362,32 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
 
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_t5_checkpoint_custom_vocab_roundtrip(tmp_path):
+    """A checkpoint carrying its own tokenizer table must be used for
+    tokenisation (differing sentencepiece orderings would otherwise map
+    residues to wrong embedding rows silently)."""
+    from knn_for_homology_tpu.models.convert import load_t5_checkpoint, save_params
+
+    cfg = t5.TINY
+    custom_vocab = {aa: 3 + i for i, aa in enumerate("WYVTSRQPNMLKIHGFEDCA")}
+    custom_vocab["X"] = 23
+    save_params(
+        t5.init_params(cfg, 0),
+        tmp_path / "ck.npz",
+        meta={
+            "config": {
+                "vocab_size": cfg.vocab_size, "d_model": cfg.d_model,
+                "d_kv": cfg.d_kv, "d_ff": cfg.d_ff,
+                "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+            },
+            "vocab": custom_vocab,
+        },
+    )
+    config, params, vocab = load_t5_checkpoint(tmp_path / "ck.npz")
+    assert vocab == custom_vocab
+    emb = ProtT5Embedder(checkpoint=tmp_path / "ck.npz")
+    assert emb.vocab == custom_vocab
+    # tokenisation actually uses it: 'W' maps to 3 under the custom table
+    assert t5.tokenize("W", emb.vocab)[0] == 3
