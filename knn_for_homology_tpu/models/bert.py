@@ -3,9 +3,11 @@ ProtBert-BFD / ProtAlbert-BFD embedders (reference: cath/embed.py:34-46)
 with one configurable architecture:
 
   * pre- or post-LayerNorm blocks (ESM1b is pre-LN, BERT/ALBERT post-LN)
-  * learned absolute position embeddings (+ optional token-type zeros)
-  * GELU feed-forward, scaled dot-product attention
-  * optional cross-layer parameter sharing (ALBERT)
+  * learned absolute position embeddings (+ optional constant token-type row)
+  * GELU feed-forward (exact erf or tanh approximation per config),
+    scaled dot-product attention
+  * optional cross-layer parameter sharing + factorized embedding
+    projection (ALBERT: [vocab, embed_dim] table → d_model)
   * final LN (pre-LN models)
 
 Checkpoints convert from HF state dicts via models/convert.py-style
@@ -34,6 +36,11 @@ class BertConfig:
     max_positions: int = 1026
     pre_norm: bool = True  # ESM1b style; False = BERT/ALBERT post-LN
     share_layers: bool = False  # ALBERT
+    # ALBERT factorized embedding: tables live at embed_dim and are
+    # projected to d_model by params["emb_proj"]; 0 = tables at d_model
+    embed_dim: int = 0
+    # HF "gelu" (erf-exact: BERT/ESM) vs "gelu_new" (tanh: ALBERT)
+    gelu_exact: bool = True
     layer_norm_eps: float = 1e-5
     # first usable row of the learned position table: fairseq's
     # LearnedPositionalEmbedding starts real tokens at padding_idx+1=2
@@ -48,13 +55,12 @@ PROTBERT = BertConfig(
     vocab_size=30, d_model=1024, d_ff=4096, num_layers=30, num_heads=16,
     max_positions=40000, pre_norm=False,
 )
-# NOTE: real ProtAlbert additionally uses a factorized [vocab, 128]
-# embedding projected to the hidden size — not representable here yet, so
-# the registry gates "ProtAlbert BFD" as unsupported; this shape config
-# documents the target for a future conversion.
+# ProtAlbert-BFD (Rostlab): ALBERT with a factorized [vocab, 128]
+# embedding, 12 shared layers, tanh-approx GELU ("gelu_new")
 PROTALBERT = BertConfig(
-    vocab_size=34, d_model=4096, d_ff=16384, num_layers=12, num_heads=64,
-    max_positions=40000, pre_norm=False, share_layers=True,
+    vocab_size=30, d_model=4096, d_ff=16384, num_layers=12, num_heads=64,
+    max_positions=40000, pre_norm=False, share_layers=True, embed_dim=128,
+    gelu_exact=False, layer_norm_eps=1e-12,
 )
 TINY_BERT = BertConfig(
     vocab_size=32, d_model=32, d_ff=64, num_layers=2, num_heads=4,
@@ -91,8 +97,11 @@ def _attn(x, p, mask, config: BertConfig):
     return jnp.einsum("blk,kd->bld", ctx, p["o"]) + p["o_b"]
 
 
-def _ffn(x, p):
-    hidden = jax.nn.gelu(jnp.einsum("bld,df->blf", x, p["wi"]) + p["wi_b"])
+def _ffn(x, p, config: BertConfig):
+    hidden = jax.nn.gelu(
+        jnp.einsum("bld,df->blf", x, p["wi"]) + p["wi_b"],
+        approximate=not config.gelu_exact,
+    )
     return jnp.einsum("blf,fd->bld", hidden, p["wo"]) + p["wo_b"]
 
 
@@ -100,12 +109,12 @@ def _block(x, p, mask, config: BertConfig):
     eps = config.layer_norm_eps
     if config.pre_norm:
         x = x + _attn(layer_norm(x, p["ln1"], p["ln1_b"], eps), p, mask, config)
-        x = x + _ffn(layer_norm(x, p["ln2"], p["ln2_b"], eps), p)
+        x = x + _ffn(layer_norm(x, p["ln2"], p["ln2_b"], eps), p, config)
     else:
         x = layer_norm(
             x + _attn(x, p, mask, config), p["ln1"], p["ln1_b"], eps
         )
-        x = layer_norm(x + _ffn(x, p), p["ln2"], p["ln2_b"], eps)
+        x = layer_norm(x + _ffn(x, p, config), p["ln2"], p["ln2_b"], eps)
     return x
 
 
@@ -119,10 +128,14 @@ def encode(
     x = params["embedding"][token_ids]
     off = config.position_offset
     x = x + params["position_embedding"][off : off + l][None]
+    if "token_type_row" in params:  # HF adds token_type_embeddings[0]
+        x = x + params["token_type_row"][None, None]
     if "emb_ln" in params:
         x = layer_norm(
             x, params["emb_ln"], params["emb_ln_b"], config.layer_norm_eps
         )
+    if "emb_proj" in params:  # ALBERT embed_dim → d_model
+        x = jnp.einsum("ble,ed->bld", x, params["emb_proj"]) + params["emb_proj_b"]
     x = x.astype(config.dtype) * mask[..., None].astype(config.dtype)
     layers = params["layers"]
     for i in range(config.num_layers):
@@ -170,13 +183,17 @@ def init_params(config: BertConfig, seed: int = 0) -> Params:
         }
 
     n_blocks = 1 if config.share_layers else config.num_layers
+    e = config.embed_dim or d
     params = {
-        "embedding": w(config.vocab_size, d, scale=1.0),
-        "position_embedding": w(config.max_positions, d, scale=0.02),
-        "emb_ln": ones(d),
-        "emb_ln_b": zeros(d),
+        "embedding": w(config.vocab_size, e, scale=1.0),
+        "position_embedding": w(config.max_positions, e, scale=0.02),
+        "emb_ln": ones(e),
+        "emb_ln_b": zeros(e),
         "layers": [block() for _ in range(n_blocks)],
     }
+    if config.embed_dim:
+        params["emb_proj"] = w(e, d)
+        params["emb_proj_b"] = zeros(d)
     if config.pre_norm:
         params["final_ln"] = ones(d)
         params["final_ln_b"] = zeros(d)

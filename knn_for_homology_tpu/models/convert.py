@@ -239,8 +239,12 @@ def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
         num_heads=hf.get("num_attention_heads", 16),
         max_positions=hf.get("max_position_embeddings", 40000),
         pre_norm=pre_norm,
+        gelu_exact=hf.get("hidden_act", "gelu") == "gelu",
         layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
     )
+
+    def has(name):
+        return name in sd or f"bert.{name}" in sd
 
     def get(name):
         key = name if name in sd else f"bert.{name}"
@@ -281,6 +285,82 @@ def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
         "emb_ln": v("embeddings.LayerNorm.weight"),
         "emb_ln_b": v("embeddings.LayerNorm.bias"),
         "layers": layers,
+    }
+    # HF adds token_type_embeddings[0] everywhere when token types are 0
+    if has("embeddings.token_type_embeddings.weight"):
+        params["token_type_row"] = v(
+            "embeddings.token_type_embeddings.weight"
+        )[0]
+    return config, params
+
+
+# --- HF ALBERT (ProtAlbert-BFD) → BertConfig params -------------------------------
+
+
+def convert_albert_from_hf(model_dir: Path):
+    """HF AlbertModel state dict (e.g. Rostlab/prot_albert) → models/bert.py
+    pytree: one shared layer block + factorized-embedding projection
+    (reference uses bio_embeddings' ProtTransAlbertBFDEmbedder,
+    reference: cath/embed.py:17,39)."""
+    import jax.numpy as jnp
+
+    from .bert import BertConfig
+
+    sd = _read_hf_state_dict(model_dir)
+    cfg_file = Path(model_dir) / "config.json"
+    hf = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    config = BertConfig(
+        vocab_size=hf.get("vocab_size", 30),
+        d_model=hf.get("hidden_size", 4096),
+        d_ff=hf.get("intermediate_size", 16384),
+        num_layers=hf.get("num_hidden_layers", 12),
+        num_heads=hf.get("num_attention_heads", 64),
+        max_positions=hf.get("max_position_embeddings", 40000),
+        pre_norm=False,
+        share_layers=True,
+        embed_dim=hf.get("embedding_size", 128),
+        gelu_exact=hf.get("hidden_act", "gelu_new") == "gelu",
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+    )
+
+    def get(name):
+        key = name if name in sd else f"albert.{name}"
+        return np.asarray(sd[key], dtype=np.float32)
+
+    def w(name):
+        return jnp.asarray(get(name).T)
+
+    def v(name):
+        return jnp.asarray(get(name))
+
+    base = "encoder.albert_layer_groups.0.albert_layers.0"
+    shared = {
+        "q": w(f"{base}.attention.query.weight"),
+        "q_b": v(f"{base}.attention.query.bias"),
+        "k": w(f"{base}.attention.key.weight"),
+        "k_b": v(f"{base}.attention.key.bias"),
+        "v": w(f"{base}.attention.value.weight"),
+        "v_b": v(f"{base}.attention.value.bias"),
+        "o": w(f"{base}.attention.dense.weight"),
+        "o_b": v(f"{base}.attention.dense.bias"),
+        "ln1": v(f"{base}.attention.LayerNorm.weight"),
+        "ln1_b": v(f"{base}.attention.LayerNorm.bias"),
+        "wi": w(f"{base}.ffn.weight"),
+        "wi_b": v(f"{base}.ffn.bias"),
+        "wo": w(f"{base}.ffn_output.weight"),
+        "wo_b": v(f"{base}.ffn_output.bias"),
+        "ln2": v(f"{base}.full_layer_layer_norm.weight"),
+        "ln2_b": v(f"{base}.full_layer_layer_norm.bias"),
+    }
+    params = {
+        "embedding": v("embeddings.word_embeddings.weight"),
+        "position_embedding": v("embeddings.position_embeddings.weight"),
+        "token_type_row": v("embeddings.token_type_embeddings.weight")[0],
+        "emb_ln": v("embeddings.LayerNorm.weight"),
+        "emb_ln_b": v("embeddings.LayerNorm.bias"),
+        "emb_proj": w("encoder.embedding_hidden_mapping_in.weight"),
+        "emb_proj_b": v("encoder.embedding_hidden_mapping_in.bias"),
+        "layers": [shared],
     }
     return config, params
 

@@ -207,6 +207,7 @@ class BertEmbedder(EmbedderBase):
         "ESM1b": bert.ESM1B,
         "ESM": bert.ESM1B,
         "ProtBert BFD": bert.PROTBERT,
+        "ProtAlbert BFD": bert.PROTALBERT,
     }
 
     def __init__(
@@ -385,11 +386,7 @@ EMBEDDERS = {
     "ESM": _functools.partial(BertEmbedder, arch="ESM"),
     "ESM1b": _functools.partial(BertEmbedder, arch="ESM1b"),
     "ProtBert BFD": _functools.partial(BertEmbedder, arch="ProtBert BFD"),
-    # ALBERT's factorized embedding projection + layer-group HF layout are
-    # not representable by models/bert.py yet — gate rather than mis-load
-    "ProtAlbert BFD": _functools.partial(
-        UnsupportedEmbedder, arch="ProtAlbert BFD"
-    ),
+    "ProtAlbert BFD": _functools.partial(BertEmbedder, arch="ProtAlbert BFD"),
     "UniRep": UniRepEmbedder,
     "ProtXLNet UniRef100": _functools.partial(
         UnsupportedEmbedder, arch="ProtXLNet UniRef100"

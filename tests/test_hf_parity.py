@@ -1,0 +1,101 @@
+"""Numeric parity of converted checkpoints against the upstream torch
+implementations (randomly-initialised tiny configs — no downloads).
+
+The reference consumes these models through bio_embeddings/HF
+(reference: cath/embed.py:12-46); here every conversion mapping is checked
+end-to-end: random HF/torch model → save state dict → convert → our encoder
+must reproduce last_hidden_state within float32 tolerance.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+ATOL = 2e-4
+
+
+def _dump(model, cfg, tmp_path):
+    (tmp_path / "config.json").write_text(json.dumps(cfg.to_dict()))
+    torch.save(model.state_dict(), tmp_path / "pytorch_model.bin")
+
+
+def test_bert_matches_hf_bertmodel(tmp_path):
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.convert import convert_bert_from_hf
+
+    cfg = transformers.BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg).eval()
+    _dump(model, cfg, tmp_path)
+
+    config, params = convert_bert_from_hf(tmp_path)
+    ids = np.random.RandomState(1).randint(5, 29, (2, 11)).astype(np.int32)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(2, 11, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        bert.encode(params, jnp.asarray(ids), jnp.ones((2, 11), bool), config)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_albert_matches_hf_albertmodel(tmp_path):
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.convert import convert_albert_from_hf
+
+    cfg = transformers.AlbertConfig(
+        vocab_size=30, embedding_size=16, hidden_size=32,
+        num_hidden_layers=3, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, classifier_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.AlbertModel(cfg).eval()
+    _dump(model, cfg, tmp_path)
+
+    config, params = convert_albert_from_hf(tmp_path)
+    assert config.share_layers and config.embed_dim == 16
+    assert len(params["layers"]) == 1
+    ids = np.random.RandomState(2).randint(5, 29, (2, 13)).astype(np.int32)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(2, 13, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        bert.encode(params, jnp.asarray(ids), jnp.ones((2, 13), bool), config)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_albert_embedder_through_registry(tmp_path):
+    """ProtAlbert entry is live: converted params run through BertEmbedder
+    with the WordPiece tokenizer ([CLS]/[SEP] stripped)."""
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.registry import BertEmbedder
+
+    tiny = bert.BertConfig(
+        vocab_size=30, d_model=32, d_ff=64, num_layers=2, num_heads=4,
+        max_positions=64, pre_norm=False, share_layers=True, embed_dim=16,
+        gelu_exact=False,
+    )
+    emb = BertEmbedder(
+        arch="ProtAlbert BFD", params=bert.init_params(tiny, 3), config=tiny
+    )
+    seqs = ["MKVLA", "GDTRPA"]
+    outs = list(emb.embed_per_residue(seqs))
+    for seq, e in zip(seqs, outs):
+        assert e.shape == (len(seq), 32)
+        assert np.isfinite(e).all()

@@ -222,7 +222,7 @@ def test_registry_full_inventory_and_gating():
         assert name in EMBEDDERS
     with pytest.raises(NotImplementedError, match="CPCProt"):
         get_embedder("CPCProt")
-    with pytest.raises(NotImplementedError, match="ProtAlbert"):
+    with pytest.raises(ValueError, match="checkpoint"):
         get_embedder("ProtAlbert BFD")
     with pytest.raises(ValueError, match="checkpoint"):
         get_embedder("ESM1b")
