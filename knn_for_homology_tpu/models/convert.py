@@ -365,6 +365,75 @@ def convert_albert_from_hf(model_dir: Path):
     return config, params
 
 
+# --- HF XLNet (ProtXLNet-UniRef100) → XLNetConfig params --------------------------
+
+
+def convert_xlnet_from_hf(model_dir: Path):
+    """HF XLNetModel state dict (e.g. Rostlab/prot_xlnet) → models/xlnet.py
+    pytree (reference embeds via bio_embeddings' XLNet wrapper,
+    reference: cath/embed.py:19,41).
+
+    XLNet's attention projections are stored as [d_model, n_head, d_head]
+    Parameters (not Linear modules), so they load WITHOUT transposition;
+    only the feed-forward Linears flip [out, in] → [in, out].
+    """
+    import jax.numpy as jnp
+
+    from .xlnet import XLNetConfig
+
+    sd = _read_hf_state_dict(model_dir)
+    cfg_file = Path(model_dir) / "config.json"
+    hf = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    config = XLNetConfig(
+        vocab_size=hf.get("vocab_size", 37),
+        d_model=hf.get("d_model", 1024),
+        d_inner=hf.get("d_inner", 4096),
+        num_layers=hf.get("n_layer", 30),
+        num_heads=hf.get("n_head", 16),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+    )
+
+    def get(name):
+        key = name if name in sd else f"transformer.{name}"
+        return np.asarray(sd[key], dtype=np.float32)
+
+    def v(name):
+        return jnp.asarray(get(name))
+
+    def w(name):  # FF Linear: torch [out, in] → [in, out]
+        return jnp.asarray(get(name).T)
+
+    layers = []
+    for i in range(config.num_layers):
+        base = f"layer.{i}"
+        layers.append(
+            {
+                "q": v(f"{base}.rel_attn.q"),
+                "k": v(f"{base}.rel_attn.k"),
+                "v": v(f"{base}.rel_attn.v"),
+                "o": v(f"{base}.rel_attn.o"),
+                "r": v(f"{base}.rel_attn.r"),
+                "r_w_bias": v(f"{base}.rel_attn.r_w_bias"),
+                "r_r_bias": v(f"{base}.rel_attn.r_r_bias"),
+                "r_s_bias": v(f"{base}.rel_attn.r_s_bias"),
+                "seg_embed": v(f"{base}.rel_attn.seg_embed"),
+                "ln_attn": v(f"{base}.rel_attn.layer_norm.weight"),
+                "ln_attn_b": v(f"{base}.rel_attn.layer_norm.bias"),
+                "ff_w1": w(f"{base}.ff.layer_1.weight"),
+                "ff_b1": v(f"{base}.ff.layer_1.bias"),
+                "ff_w2": w(f"{base}.ff.layer_2.weight"),
+                "ff_b2": v(f"{base}.ff.layer_2.bias"),
+                "ln_ff": v(f"{base}.ff.layer_norm.weight"),
+                "ln_ff_b": v(f"{base}.ff.layer_norm.bias"),
+            }
+        )
+    params = {
+        "embedding": v("word_embedding.weight"),
+        "layers": layers,
+    }
+    return config, params
+
+
 # --- SeqVec ELMo (bilm-tf hdf5) → ELMo params -----------------------------------
 
 

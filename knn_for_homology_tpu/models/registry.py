@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_TOKEN_BATCH, MAX_SEQ_LEN
-from . import bert, elmo, t5, unirep
+from . import bert, elmo, t5, unirep, xlnet
 from .batching import Batch, make_batches, pad_tokens
 from .pooling import l2_then_mean_pool_jit, mean_pool_jit
 
@@ -45,6 +45,8 @@ class EmbedderBase:
         return np.asarray(per_residue, dtype=np.float32).mean(axis=0)
 
     def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
+        if not sequences:
+            return np.zeros((0, self.dim), dtype=np.float32)
         return np.stack(
             [self.reduce_per_protein(e) for e in self.embed_per_residue(sequences)]
         )
@@ -107,6 +109,8 @@ class ProtT5Embedder(EmbedderBase):
 
     def embed_pooled(self, sequences: Sequence[str]) -> np.ndarray:
         """Pooled on device (masked mean; L2 variant normalises first)."""
+        if not sequences:
+            return np.zeros((0, self.dim), dtype=np.float32)
         pool = l2_then_mean_pool_jit if self.l2_per_residue else mean_pool_jit
         results: List[Optional[np.ndarray]] = [None] * len(sequences)
         for batch in make_batches(sequences, self.token_budget, self.max_len):
@@ -323,9 +327,72 @@ class UniRepEmbedder(EmbedderBase):
         yield from results
 
 
+class XLNetEmbedder(EmbedderBase):
+    """ProtXLNet-UniRef100 (models/xlnet.py): Transformer-XL relative
+    attention; specials (<sep> <cls>) sit at the END, so per-residue output
+    is the first len(seq) positions."""
+
+    name = "ProtXLNet UniRef100"
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[xlnet.XLNetConfig] = None,
+        params=None,
+        token_budget: int = DEFAULT_TOKEN_BATCH,
+        max_len: int = MAX_SEQ_LEN,
+    ):
+        self.vocab = None  # default = documented ProtTrans residue order
+        if params is not None:
+            self.config = config or xlnet.PROTXLNET
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import load_params
+
+            loaded, meta = load_params(checkpoint)
+            cfg = meta.get("config", {})
+            self.config = (
+                xlnet.XLNetConfig(**cfg) if cfg else xlnet.PROTXLNET
+            )
+            self.params = loaded
+            vocab = meta.get("vocab")
+            if vocab is not None:
+                self.vocab = {str(k): int(v) for k, v in vocab.items()}
+        else:
+            raise ValueError(
+                f"{self.name}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = self.config.d_model
+        self.token_budget = token_budget
+        self.max_len = max_len
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(sequences, self.token_budget, self.max_len):
+            tokens = [
+                xlnet.tokenize(s, self.vocab) for s in batch.sequences
+            ]
+            ids, mask = pad_tokens(
+                tokens, batch.padded_len + 2, xlnet.XLNET_PAD
+            )
+            hidden = np.asarray(
+                xlnet.encode_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask),
+                    self.config,
+                ),
+                dtype=np.float32,
+            )
+            for idx, row, seq in zip(
+                batch.indices, range(len(batch.sequences)), batch.sequences
+            ):
+                results[idx] = hidden[row, : len(seq)]  # drop <sep> <cls>
+        yield from results
+
+
 class UnsupportedEmbedder(EmbedderBase):
     """Registry entries whose upstream architectures are not ported yet
-    (XLNet's two-stream attention, CPCProt, PLUS-RNN). Kept in the registry
+    (CPCProt, PLUS-RNN). Kept in the registry
     so `embed-all` sweeps report them as skipped instead of unknown —
     mirroring the reference's crash-isolation semantics."""
 
@@ -388,9 +455,7 @@ EMBEDDERS = {
     "ProtBert BFD": _functools.partial(BertEmbedder, arch="ProtBert BFD"),
     "ProtAlbert BFD": _functools.partial(BertEmbedder, arch="ProtAlbert BFD"),
     "UniRep": UniRepEmbedder,
-    "ProtXLNet UniRef100": _functools.partial(
-        UnsupportedEmbedder, arch="ProtXLNet UniRef100"
-    ),
+    "ProtXLNet UniRef100": XLNetEmbedder,
     "CPCProt": _functools.partial(UnsupportedEmbedder, arch="CPCProt"),
     "PLUS": _functools.partial(UnsupportedEmbedder, arch="PLUS"),
     "AA Composition": AACompositionEmbedder,

@@ -80,6 +80,63 @@ def test_albert_matches_hf_albertmodel(tmp_path):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_xlnet_matches_hf_xlnetmodel(tmp_path):
+    from knn_for_homology_tpu.models import xlnet
+    from knn_for_homology_tpu.models.convert import convert_xlnet_from_hf
+
+    cfg = transformers.XLNetConfig(
+        vocab_size=30, d_model=32, n_layer=3, n_head=4, d_inner=64,
+        dropout=0.0, bi_data=False, attn_type="bi", untie_r=True,
+    )
+    torch.manual_seed(0)
+    model = transformers.XLNetModel(cfg).eval()
+    _dump(model, cfg, tmp_path)
+
+    config, params = convert_xlnet_from_hf(tmp_path)
+    ids = np.random.RandomState(3).randint(5, 29, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(2, 12, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        xlnet.encode(params, jnp.asarray(ids), jnp.ones((2, 12), bool),
+                     config)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_xlnet_matches_hf_with_padding(tmp_path):
+    """Padded batch: valid positions must match HF's masked forward."""
+    from knn_for_homology_tpu.models import xlnet
+    from knn_for_homology_tpu.models.convert import convert_xlnet_from_hf
+
+    cfg = transformers.XLNetConfig(
+        vocab_size=30, d_model=32, n_layer=2, n_head=4, d_inner=64,
+        dropout=0.0, bi_data=False, attn_type="bi",
+    )
+    torch.manual_seed(1)
+    model = transformers.XLNetModel(cfg).eval()
+    _dump(model, cfg, tmp_path)
+    config, params = convert_xlnet_from_hf(tmp_path)
+
+    ids = np.random.RandomState(4).randint(5, 29, (2, 10)).astype(np.int32)
+    tmask = np.ones((2, 10), dtype=np.int64)
+    tmask[0, 7:] = 0  # row 0 padded after 7 tokens
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(tmask),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        xlnet.encode(
+            params, jnp.asarray(ids), jnp.asarray(tmask.astype(bool)), config
+        )
+    )
+    np.testing.assert_allclose(got[0, :7], want[0, :7], atol=ATOL)
+    np.testing.assert_allclose(got[1], want[1], atol=ATOL)
+
+
 def test_albert_embedder_through_registry(tmp_path):
     """ProtAlbert entry is live: converted params run through BertEmbedder
     with the WordPiece tokenizer ([CLS]/[SEP] stripped)."""

@@ -210,6 +210,36 @@ def test_unirep_mlstm():
     assert not np.allclose(fwd, rev[::-1])
 
 
+def test_xlnet_embedder_shapes_and_padding_invariance():
+    from knn_for_homology_tpu.models import xlnet
+    from knn_for_homology_tpu.models.registry import XLNetEmbedder
+
+    params = xlnet.init_params(xlnet.TINY_XLNET, seed=0)
+    emb = XLNetEmbedder(
+        params=params, config=xlnet.TINY_XLNET, token_budget=512
+    )
+    embs = list(emb.embed_per_residue(SEQS))
+    for seq, e in zip(SEQS, embs):
+        assert e.shape == (len(seq), xlnet.TINY_XLNET.d_model)
+    single = list(emb.embed_per_residue([SEQS[2]]))[0]
+    np.testing.assert_allclose(single, embs[2], atol=1e-4, rtol=1e-4)
+    # recurrence-free but position-aware: with the position projection
+    # amplified (tiny random init makes bd ~1e-5), reversal must not commute
+    import jax.numpy as jnp
+
+    boosted = {
+        "embedding": params["embedding"],
+        "layers": [
+            {k: (v * 50.0 if k == "r" else v) for k, v in layer.items()}
+            for layer in params["layers"]
+        ],
+    }
+    emb_pos = XLNetEmbedder(params=boosted, config=xlnet.TINY_XLNET)
+    fwd = list(emb_pos.embed_per_residue([SEQS[0]]))[0]
+    rev = list(emb_pos.embed_per_residue([SEQS[0][::-1]]))[0]
+    assert not np.allclose(fwd, rev[::-1], atol=1e-3)
+
+
 def test_registry_full_inventory_and_gating():
     from knn_for_homology_tpu.models.registry import EMBEDDERS
 
