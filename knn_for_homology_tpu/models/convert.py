@@ -434,6 +434,144 @@ def convert_xlnet_from_hf(model_dir: Path):
     return config, params
 
 
+# --- CPCProt (torch conv encoder + GRU) → CPCProtConfig params --------------------
+
+
+def convert_cpcprot_from_torch(
+    path: Path,
+    embed_key: str = "encoder.embedding.weight",
+    gru_prefix: str = "autoregressor.",
+    patch_len: int = 11,
+):
+    """Torch CPCProt checkpoint → models/cpcprot.py pytree (reference
+    embeds via bio_embeddings' CPCProtEmbedder,
+    reference: cath/embed.py:13,35).
+
+    The conv stack is introspected: every 3-d tensor under `encoder.`
+    (torch Conv1d weight [out, in, k], sorted by key) becomes one conv
+    layer, transposed to [k, in, out]; the GRU loads with torch's gate
+    packing [r|z|n], biases kept separate because torch applies the reset
+    gate to (W_hn h + b_hn).
+    """
+    import jax.numpy as jnp
+
+    from .cpcprot import CPCProtConfig
+
+    path = Path(path)
+    if path.is_dir():
+        sd = _read_hf_state_dict(path)
+    else:
+        import torch
+
+        sd = {
+            k: v.float().numpy()
+            for k, v in torch.load(path, map_location="cpu").items()
+        }
+
+    def get(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    embedding = get(embed_key)
+    conv_keys = sorted(
+        k for k, v in sd.items()
+        if k.startswith("encoder.") and k.endswith(".weight")
+        and np.ndim(sd[k]) == 3
+    )
+    convs, spec = [], []
+    for key in conv_keys:
+        w = get(key)  # [out, in, k]
+        b = get(key[: -len(".weight")] + ".bias")
+        convs.append(
+            {"w": jnp.asarray(w.transpose(2, 1, 0)), "b": jnp.asarray(b)}
+        )
+        spec.append((w.shape[0], w.shape[2]))
+    w_ih = get(f"{gru_prefix}weight_ih_l0")  # [3c, z]
+    w_hh = get(f"{gru_prefix}weight_hh_l0")
+    config = CPCProtConfig(
+        vocab_size=embedding.shape[0],
+        embed_dim=embedding.shape[1],
+        patch_len=patch_len,
+        conv_spec=tuple(spec),
+        z_dim=w_ih.shape[1],
+        c_dim=w_hh.shape[1],
+    )
+    params = {
+        "embedding": jnp.asarray(embedding),
+        "convs": convs,
+        "gru": {
+            "w_x": jnp.asarray(w_ih.T),
+            "w_h": jnp.asarray(w_hh.T),
+            "b_x": jnp.asarray(get(f"{gru_prefix}bias_ih_l0")),
+            "b_h": jnp.asarray(get(f"{gru_prefix}bias_hh_l0")),
+        },
+    }
+    return config, params
+
+
+# --- PLUS-RNN (torch biLSTM) → PlusRnnConfig params -------------------------------
+
+
+def convert_plus_rnn_from_torch(
+    path: Path, embed_key: str = "embed.weight", prefix: str = "rnn."
+):
+    """Torch PLUS-RNN checkpoint (embedding + bidirectional nn.LSTM) →
+    models/plus_rnn.py pytree (reference embeds via bio_embeddings'
+    PLUSRNNEmbedder, reference: cath/embed.py:16,38).
+
+    Dimensions are introspected from tensor shapes, so any PLUS-RNN size
+    loads; torch packs gates [i|f|g|o] along the first axis of
+    weight_ih/weight_hh [4h, in] — transposed here, with the two bias
+    vectors summed (torch applies b_ih + b_hh every step).
+    """
+    import jax.numpy as jnp
+
+    from .plus_rnn import PlusRnnConfig
+
+    path = Path(path)
+    if path.is_dir():
+        sd = _read_hf_state_dict(path)
+    else:
+        import torch
+
+        sd = {
+            k: v.float().numpy()
+            for k, v in torch.load(path, map_location="cpu").items()
+        }
+
+    def get(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    embedding = get(embed_key)
+    num_layers = sum(
+        1 for k in sd if k.startswith(f"{prefix}weight_ih_l")
+        and not k.endswith("_reverse")
+    )
+    hidden = get(f"{prefix}weight_hh_l0").shape[1]
+    config = PlusRnnConfig(
+        vocab_size=embedding.shape[0],
+        embed_dim=embedding.shape[1],
+        hidden_dim=hidden,
+        num_layers=num_layers,
+    )
+
+    def cell(layer, rev):
+        sfx = f"l{layer}" + ("_reverse" if rev else "")
+        return {
+            "w_x": jnp.asarray(get(f"{prefix}weight_ih_{sfx}").T),
+            "w_h": jnp.asarray(get(f"{prefix}weight_hh_{sfx}").T),
+            "b": jnp.asarray(
+                get(f"{prefix}bias_ih_{sfx}") + get(f"{prefix}bias_hh_{sfx}")
+            ),
+        }
+
+    params = {
+        "embedding": jnp.asarray(embedding),
+        "fwd": [cell(i, False) for i in range(num_layers)],
+        "bwd": [cell(i, True) for i in range(num_layers)],
+    }
+    return config, params
+
+
 # --- SeqVec ELMo (bilm-tf hdf5) → ELMo params -----------------------------------
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_TOKEN_BATCH, MAX_SEQ_LEN
-from . import bert, elmo, t5, unirep, xlnet
+from . import bert, cpcprot, elmo, plus_rnn, t5, unirep, xlnet
 from .batching import Batch, make_batches, pad_tokens
 from .pooling import l2_then_mean_pool_jit, mean_pool_jit
 
@@ -390,17 +390,135 @@ class XLNetEmbedder(EmbedderBase):
         yield from results
 
 
-class UnsupportedEmbedder(EmbedderBase):
-    """Registry entries whose upstream architectures are not ported yet
-    (CPCProt, PLUS-RNN). Kept in the registry
-    so `embed-all` sweeps report them as skipped instead of unknown —
-    mirroring the reference's crash-isolation semantics."""
+class PlusRnnEmbedder(EmbedderBase):
+    """PLUS-RNN bidirectional LSTM (models/plus_rnn.py); per-residue output
+    is the concatenated fwd/bwd hidden state (2 x hidden_dim)."""
 
-    def __init__(self, arch: str, **_):
-        raise NotImplementedError(
-            f"{arch}: architecture not ported; convert its checkpoint and "
-            "contribute a models/ module (see models/bert.py for the pattern)"
-        )
+    name = "PLUS"
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[plus_rnn.PlusRnnConfig] = None,
+        params=None,
+        token_budget: int = DEFAULT_TOKEN_BATCH,
+    ):
+        self.vocab = None
+        if params is not None:
+            self.config = config or plus_rnn.PLUS_RNN
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import convert_plus_rnn_from_torch, load_params
+
+            path = Path(checkpoint)
+            if path.suffix in (".pt", ".bin"):
+                self.config, self.params = convert_plus_rnn_from_torch(path)
+            else:
+                loaded, meta = load_params(path)
+                cfg = meta.get("config", {})
+                self.config = (
+                    plus_rnn.PlusRnnConfig(**cfg) if cfg else plus_rnn.PLUS_RNN
+                )
+                self.params = loaded
+                vocab = meta.get("vocab")
+                if vocab is not None:
+                    self.vocab = {str(k): int(v) for k, v in vocab.items()}
+        else:
+            raise ValueError(
+                f"{self.name}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = 2 * self.config.hidden_dim
+        self.token_budget = token_budget
+
+    def embed_per_residue(self, sequences):
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for batch in make_batches(sequences, self.token_budget, 10**9):
+            tokens = [
+                plus_rnn.tokenize(s, self.vocab) for s in batch.sequences
+            ]
+            ids, mask = pad_tokens(tokens, batch.padded_len, 0)
+            hidden = np.asarray(
+                plus_rnn.encode_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask),
+                    self.config,
+                ),
+                dtype=np.float32,
+            )
+            for idx, row, seq in zip(
+                batch.indices, range(len(batch.sequences)), batch.sequences
+            ):
+                results[idx] = hidden[row, : len(seq)]
+        yield from results
+
+
+class CPCProtEmbedder(EmbedderBase):
+    """CPCProt (models/cpcprot.py): the sequence is patched (11 residues a
+    patch); "per-residue" output is the per-PATCH z matrix [n_patches,
+    z_dim], and reduce_per_protein is its mean (z_mean) — the embedding the
+    reference consumes. Patch counts vary, so sequences are grouped by
+    bucketed patch count to bound recompilation."""
+
+    name = "CPCProt"
+
+    def __init__(
+        self,
+        checkpoint: Optional[Path] = None,
+        config: Optional[cpcprot.CPCProtConfig] = None,
+        params=None,
+        batch_size: int = 64,
+    ):
+        self.vocab = None
+        if params is not None:
+            self.config = config or cpcprot.CPCPROT
+            self.params = params
+        elif checkpoint is not None:
+            from .convert import convert_cpcprot_from_torch, load_params
+
+            path = Path(checkpoint)
+            if path.suffix in (".pt", ".bin"):
+                self.config, self.params = convert_cpcprot_from_torch(path)
+            else:
+                loaded, meta = load_params(path)
+                cfg = meta.get("config", {})
+                if cfg and "conv_spec" in cfg:
+                    cfg["conv_spec"] = tuple(
+                        tuple(int(x) for x in layer)
+                        for layer in cfg["conv_spec"]
+                    )
+                self.config = (
+                    cpcprot.CPCProtConfig(**cfg) if cfg else cpcprot.CPCPROT
+                )
+                self.params = loaded
+        else:
+            raise ValueError(
+                f"{self.name}: no checkpoint installed — pass `checkpoint=` "
+                "(converted via models/convert.py) or explicit params"
+            )
+        self.dim = self.config.z_dim
+        self.batch_size = batch_size
+
+    def embed_per_residue(self, sequences):
+        patched = [
+            cpcprot.tokenize_patches(s, self.config, self.vocab)
+            for s in sequences
+        ]
+        order = sorted(range(len(patched)), key=lambda i: len(patched[i]))
+        results: List[Optional[np.ndarray]] = [None] * len(sequences)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            t_max = max(len(patched[i]) for i in chunk)
+            t_pad = -(-t_max // 4) * 4  # bucket to multiples of 4
+            ids = np.zeros(
+                (len(chunk), t_pad, self.config.patch_len), dtype=np.int32
+            )
+            for row, i in enumerate(chunk):
+                ids[row, : len(patched[i])] = patched[i]
+            z, _ = cpcprot.encode_jit(self.params, jnp.asarray(ids), self.config)
+            z = np.asarray(z, dtype=np.float32)
+            for row, i in enumerate(chunk):
+                results[i] = z[row, : len(patched[i])]
+        yield from results
 
 
 class AACompositionEmbedder(EmbedderBase):
@@ -456,8 +574,8 @@ EMBEDDERS = {
     "ProtAlbert BFD": _functools.partial(BertEmbedder, arch="ProtAlbert BFD"),
     "UniRep": UniRepEmbedder,
     "ProtXLNet UniRef100": XLNetEmbedder,
-    "CPCProt": _functools.partial(UnsupportedEmbedder, arch="CPCProt"),
-    "PLUS": _functools.partial(UnsupportedEmbedder, arch="PLUS"),
+    "CPCProt": CPCProtEmbedder,
+    "PLUS": PlusRnnEmbedder,
     "AA Composition": AACompositionEmbedder,
 }
 

@@ -137,6 +137,86 @@ def test_xlnet_matches_hf_with_padding(tmp_path):
     np.testing.assert_allclose(got[1], want[1], atol=ATOL)
 
 
+def test_plus_rnn_matches_torch_packed_bilstm(tmp_path):
+    """Converted biLSTM reproduces torch nn.LSTM with pack_padded_sequence
+    (the correct padded-batch semantics) at every valid position."""
+    from knn_for_homology_tpu.models import plus_rnn
+    from knn_for_homology_tpu.models.convert import convert_plus_rnn_from_torch
+
+    torch.manual_seed(0)
+    embed = torch.nn.Embedding(21, 8)
+    rnn = torch.nn.LSTM(
+        input_size=8, hidden_size=12, num_layers=2, bidirectional=True,
+        batch_first=True,
+    ).eval()
+    sd = {"embed.weight": embed.weight.detach()}
+    sd.update({f"rnn.{k}": v for k, v in rnn.state_dict().items()})
+    torch.save(sd, tmp_path / "plus_rnn.pt")
+
+    config, params = convert_plus_rnn_from_torch(tmp_path / "plus_rnn.pt")
+    assert config.hidden_dim == 12 and config.num_layers == 2
+
+    ids = np.random.RandomState(5).randint(0, 21, (3, 9)).astype(np.int32)
+    lengths = np.array([9, 6, 3])
+    mask = np.arange(9)[None, :] < lengths[:, None]
+    with torch.no_grad():
+        x = embed(torch.tensor(ids, dtype=torch.long))
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            x, torch.tensor(lengths), batch_first=True,
+            enforce_sorted=False,
+        )
+        out, _ = rnn(packed)
+        want, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True
+        )
+        want = want.numpy()
+    got = np.asarray(
+        plus_rnn.encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    for row, n in enumerate(lengths):
+        np.testing.assert_allclose(got[row, :n], want[row, :n], atol=ATOL)
+
+
+def test_cpcprot_matches_torch_conv_gru(tmp_path):
+    """Converted conv+GRU encoder reproduces an equivalent torch module
+    (Embedding → Conv1d/ReLU stack → mean pool → GRU) per patch."""
+    from knn_for_homology_tpu.models import cpcprot
+    from knn_for_homology_tpu.models.convert import convert_cpcprot_from_torch
+
+    torch.manual_seed(0)
+    embed = torch.nn.Embedding(30, 8)
+    conv0 = torch.nn.Conv1d(8, 16, 3, padding=1)
+    conv1 = torch.nn.Conv1d(16, 24, 3, padding=1)
+    gru = torch.nn.GRU(input_size=24, hidden_size=12, batch_first=True).eval()
+    sd = {
+        "encoder.embedding.weight": embed.weight.detach(),
+        "encoder.conv0.weight": conv0.weight.detach(),
+        "encoder.conv0.bias": conv0.bias.detach(),
+        "encoder.conv1.weight": conv1.weight.detach(),
+        "encoder.conv1.bias": conv1.bias.detach(),
+    }
+    sd.update({f"autoregressor.{k}": v for k, v in gru.state_dict().items()})
+    torch.save(sd, tmp_path / "cpcprot.pt")
+
+    config, params = convert_cpcprot_from_torch(
+        tmp_path / "cpcprot.pt", patch_len=4
+    )
+    assert config.conv_spec == ((16, 3), (24, 3))
+    assert config.z_dim == 24 and config.c_dim == 12
+
+    ids = np.random.RandomState(6).randint(5, 29, (2, 3, 4)).astype(np.int32)
+    with torch.no_grad():
+        x = embed(torch.tensor(ids.reshape(6, 4), dtype=torch.long))
+        x = x.transpose(1, 2)  # torch conv: [N, C, L]
+        x = torch.relu(conv0(x))
+        x = torch.relu(conv1(x))
+        z_want = x.mean(dim=2).reshape(2, 3, 24)
+        c_want, _ = gru(z_want)
+    z, c = cpcprot.encode(params, jnp.asarray(ids), config)
+    np.testing.assert_allclose(np.asarray(z), z_want.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(c), c_want.numpy(), atol=ATOL)
+
+
 def test_albert_embedder_through_registry(tmp_path):
     """ProtAlbert entry is live: converted params run through BertEmbedder
     with the WordPiece tokenizer ([CLS]/[SEP] stripped)."""

@@ -240,6 +240,41 @@ def test_xlnet_embedder_shapes_and_padding_invariance():
     assert not np.allclose(fwd, rev[::-1], atol=1e-3)
 
 
+def test_plus_rnn_embedder_shapes_and_padding_invariance():
+    from knn_for_homology_tpu.models import plus_rnn
+    from knn_for_homology_tpu.models.registry import PlusRnnEmbedder
+
+    params = plus_rnn.init_params(plus_rnn.TINY_PLUS, seed=0)
+    emb = PlusRnnEmbedder(params=params, config=plus_rnn.TINY_PLUS)
+    embs = list(emb.embed_per_residue(SEQS))
+    for seq, e in zip(SEQS, embs):
+        assert e.shape == (len(seq), 2 * plus_rnn.TINY_PLUS.hidden_dim)
+    single = list(emb.embed_per_residue([SEQS[2]]))[0]
+    np.testing.assert_allclose(single, embs[2], atol=1e-4, rtol=1e-4)
+    # bidirectional recurrence: direction must matter
+    fwd = list(emb.embed_per_residue([SEQS[0]]))[0]
+    rev = list(emb.embed_per_residue([SEQS[0][::-1]]))[0]
+    assert not np.allclose(fwd, rev[::-1])
+
+
+def test_cpcprot_embedder_patching():
+    from knn_for_homology_tpu.models import cpcprot
+    from knn_for_homology_tpu.models.registry import CPCProtEmbedder
+
+    cfg = cpcprot.TINY_CPCPROT  # patch_len=4
+    params = cpcprot.init_params(cfg, seed=0)
+    emb = CPCProtEmbedder(params=params, config=cfg)
+    seqs = ["MKVLAWWGD", "GDT", "MKVLAWWG" * 4]  # 2, 1 (padded), 8 patches
+    embs = list(emb.embed_per_residue(seqs))
+    assert [e.shape for e in embs] == [(2, 16), (1, 16), (8, 16)]
+    # batching must not change values (single vs grouped)
+    single = list(emb.embed_per_residue([seqs[2]]))[0]
+    np.testing.assert_allclose(single, embs[2], atol=1e-4, rtol=1e-4)
+    pooled = emb.embed_pooled(seqs)  # z_mean
+    assert pooled.shape == (3, 16)
+    np.testing.assert_allclose(pooled[1], embs[1].mean(0), atol=1e-5)
+
+
 def test_registry_full_inventory_and_gating():
     from knn_for_homology_tpu.models.registry import EMBEDDERS
 
@@ -250,12 +285,13 @@ def test_registry_full_inventory_and_gating():
         "ProtXLNet UniRef100", "CPCProt", "PLUS", "AA Composition",
     ]:
         assert name in EMBEDDERS
-    with pytest.raises(NotImplementedError, match="CPCProt"):
-        get_embedder("CPCProt")
-    with pytest.raises(ValueError, match="checkpoint"):
-        get_embedder("ProtAlbert BFD")
-    with pytest.raises(ValueError, match="checkpoint"):
-        get_embedder("ESM1b")
+    # every neural entry is architecture-complete: construction without a
+    # checkpoint fails with the install hint, never NotImplementedError
+    for name in EMBEDDERS:
+        if name == "AA Composition":
+            continue
+        with pytest.raises(ValueError, match="checkpoint"):
+            get_embedder(name)
 
 
 def test_convert_bert_from_synthetic_hf_dir(tmp_path):
