@@ -294,6 +294,91 @@ def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
     return config, params
 
 
+# --- HF ESM (ESM-1b) → BertConfig params ------------------------------------------
+
+
+def convert_esm_from_hf(model_dir: Path):
+    """HF EsmModel state dict (e.g. facebook/esm1b_t33_650M_UR50S) →
+    models/bert.py pytree (pre-LN, learned positions offset by
+    padding_idx+1=2; the reference truncates inputs to 1022 residues for
+    this model, reference: cath/embed.py:80-82).
+
+    Only position_embedding_type="absolute" (ESM-1b) converts; ESM-2's
+    rotary attention is a different architecture.
+    """
+    import jax.numpy as jnp
+
+    from .bert import BertConfig
+
+    sd = _read_hf_state_dict(model_dir)
+    cfg_file = Path(model_dir) / "config.json"
+    hf = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    if hf.get("position_embedding_type", "absolute") != "absolute":
+        raise ValueError(
+            "convert_esm_from_hf handles ESM-1b (absolute positions); "
+            f"got position_embedding_type="
+            f"{hf.get('position_embedding_type')!r} (ESM-2/rotary)"
+        )
+    config = BertConfig(
+        vocab_size=hf.get("vocab_size", 33),
+        d_model=hf.get("hidden_size", 1280),
+        d_ff=hf.get("intermediate_size", 5120),
+        num_layers=hf.get("num_hidden_layers", 33),
+        num_heads=hf.get("num_attention_heads", 20),
+        max_positions=hf.get("max_position_embeddings", 1026),
+        pre_norm=True,
+        gelu_exact=True,
+        position_offset=hf.get("pad_token_id", 1) + 1,
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+    )
+
+    def get(name):
+        key = name if name in sd else f"esm.{name}"
+        return np.asarray(sd[key], dtype=np.float32)
+
+    def w(name):
+        return jnp.asarray(get(name).T)
+
+    def v(name):
+        return jnp.asarray(get(name))
+
+    layers = []
+    for i in range(config.num_layers):
+        base = f"encoder.layer.{i}"
+        layers.append(
+            {
+                "q": w(f"{base}.attention.self.query.weight"),
+                "q_b": v(f"{base}.attention.self.query.bias"),
+                "k": w(f"{base}.attention.self.key.weight"),
+                "k_b": v(f"{base}.attention.self.key.bias"),
+                "v": w(f"{base}.attention.self.value.weight"),
+                "v_b": v(f"{base}.attention.self.value.bias"),
+                "o": w(f"{base}.attention.output.dense.weight"),
+                "o_b": v(f"{base}.attention.output.dense.bias"),
+                # pre-LN: ln1 normalises the attention input,
+                # ln2 the feed-forward input
+                "ln1": v(f"{base}.attention.LayerNorm.weight"),
+                "ln1_b": v(f"{base}.attention.LayerNorm.bias"),
+                "wi": w(f"{base}.intermediate.dense.weight"),
+                "wi_b": v(f"{base}.intermediate.dense.bias"),
+                "wo": w(f"{base}.output.dense.weight"),
+                "wo_b": v(f"{base}.output.dense.bias"),
+                "ln2": v(f"{base}.LayerNorm.weight"),
+                "ln2_b": v(f"{base}.LayerNorm.bias"),
+            }
+        )
+    params = {
+        "embedding": v("embeddings.word_embeddings.weight"),
+        "position_embedding": v("embeddings.position_embeddings.weight"),
+        "emb_ln": v("embeddings.layer_norm.weight"),
+        "emb_ln_b": v("embeddings.layer_norm.bias"),
+        "final_ln": v("encoder.emb_layer_norm_after.weight"),
+        "final_ln_b": v("encoder.emb_layer_norm_after.bias"),
+        "layers": layers,
+    }
+    return config, params
+
+
 # --- HF ALBERT (ProtAlbert-BFD) → BertConfig params -------------------------------
 
 

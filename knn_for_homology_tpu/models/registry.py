@@ -227,12 +227,25 @@ class BertEmbedder(EmbedderBase):
             self.config = config or self.ARCHES[arch]
             self.params = params
         elif checkpoint is not None:
-            from .convert import load_params
+            if Path(checkpoint).is_dir():  # HF checkpoint: convert in place
+                from . import convert
 
-            loaded, meta = load_params(checkpoint)
-            cfg = meta.get("config", {})
-            self.config = bert.BertConfig(**cfg) if cfg else self.ARCHES[arch]
-            self.params = loaded
+                converter = {
+                    "ESM": convert.convert_esm_from_hf,
+                    "ESM1b": convert.convert_esm_from_hf,
+                    "ProtBert BFD": convert.convert_bert_from_hf,
+                    "ProtAlbert BFD": convert.convert_albert_from_hf,
+                }[arch]
+                self.config, self.params = converter(Path(checkpoint))
+            else:
+                from .convert import load_params
+
+                loaded, meta = load_params(checkpoint)
+                cfg = meta.get("config", {})
+                self.config = (
+                    bert.BertConfig(**cfg) if cfg else self.ARCHES[arch]
+                )
+                self.params = loaded
         else:
             raise ValueError(
                 f"{arch}: no checkpoint installed — pass `checkpoint=` "
@@ -347,17 +360,24 @@ class XLNetEmbedder(EmbedderBase):
             self.config = config or xlnet.PROTXLNET
             self.params = params
         elif checkpoint is not None:
-            from .convert import load_params
+            if Path(checkpoint).is_dir():  # HF checkpoint: convert in place
+                from .convert import convert_xlnet_from_hf
 
-            loaded, meta = load_params(checkpoint)
-            cfg = meta.get("config", {})
-            self.config = (
-                xlnet.XLNetConfig(**cfg) if cfg else xlnet.PROTXLNET
-            )
-            self.params = loaded
-            vocab = meta.get("vocab")
-            if vocab is not None:
-                self.vocab = {str(k): int(v) for k, v in vocab.items()}
+                self.config, self.params = convert_xlnet_from_hf(
+                    Path(checkpoint)
+                )
+            else:
+                from .convert import load_params
+
+                loaded, meta = load_params(checkpoint)
+                cfg = meta.get("config", {})
+                self.config = (
+                    xlnet.XLNetConfig(**cfg) if cfg else xlnet.PROTXLNET
+                )
+                self.params = loaded
+                vocab = meta.get("vocab")
+                if vocab is not None:
+                    self.vocab = {str(k): int(v) for k, v in vocab.items()}
         else:
             raise ValueError(
                 f"{self.name}: no checkpoint installed — pass `checkpoint=` "

@@ -80,6 +80,37 @@ def test_albert_matches_hf_albertmodel(tmp_path):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_t5_matches_hf_t5encodermodel(tmp_path):
+    """Flagship conversion: our T5 encoder (RMSNorm, shared relative bias,
+    unscaled QK^T, ReLU FF) must reproduce HF T5EncoderModel."""
+    import jax.numpy as jnp_
+
+    from knn_for_homology_tpu.models import t5
+    from knn_for_homology_tpu.models.convert import convert_t5_from_hf
+
+    cfg = transformers.T5Config(
+        vocab_size=32, d_model=32, d_kv=8, d_ff=64, num_layers=3,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="relu", is_encoder_decoder=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.T5EncoderModel(cfg).eval()
+    _dump(model, cfg, tmp_path)
+
+    config, params = convert_t5_from_hf(tmp_path, dtype=jnp_.float32)
+    ids = np.random.RandomState(7).randint(3, 31, (2, 14)).astype(np.int32)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(2, 14, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        t5.encode(params, jnp.asarray(ids), jnp.ones((2, 14), bool), config)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 def test_xlnet_matches_hf_xlnetmodel(tmp_path):
     from knn_for_homology_tpu.models import xlnet
     from knn_for_homology_tpu.models.convert import convert_xlnet_from_hf
@@ -135,6 +166,57 @@ def test_xlnet_matches_hf_with_padding(tmp_path):
     )
     np.testing.assert_allclose(got[0, :7], want[0, :7], atol=ATOL)
     np.testing.assert_allclose(got[1], want[1], atol=ATOL)
+
+
+def test_esm_matches_hf_esmmodel(tmp_path):
+    """ESM-1b-style conversion (pre-LN, learned positions offset 2, exact
+    GELU): matches HF EsmModel, driven through the registry embedder with
+    an HF checkpoint directory."""
+    from knn_for_homology_tpu.models import bert
+    from knn_for_homology_tpu.models.convert import convert_esm_from_hf
+    from knn_for_homology_tpu.models.registry import BertEmbedder
+
+    cfg = transformers.EsmConfig(
+        vocab_size=33, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, position_embedding_type="absolute",
+        emb_layer_norm_before=True, token_dropout=False, pad_token_id=1,
+        mask_token_id=32, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.EsmModel(cfg, add_pooling_layer=False).eval()
+    _dump(model, cfg, tmp_path)
+
+    config, params = convert_esm_from_hf(tmp_path)
+    assert config.pre_norm and config.position_offset == 2
+    ids = np.random.RandomState(8).randint(4, 29, (2, 10)).astype(np.int32)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(2, 10, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        bert.encode(params, jnp.asarray(ids), jnp.ones((2, 10), bool), config)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+    # same checkpoint through the registry (HF dir converts in place)
+    emb = BertEmbedder(arch="ESM1b", checkpoint=tmp_path)
+    outs = list(emb.embed_per_residue(["MKVLA"]))
+    assert outs[0].shape == (5, 32)
+
+    # probe: an ESM-2 (rotary) config must refuse, not mis-convert
+    cfg2 = transformers.EsmConfig(
+        vocab_size=33, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        position_embedding_type="rotary",
+    )
+    d2 = tmp_path / "esm2"
+    d2.mkdir()
+    _dump(transformers.EsmModel(cfg2, add_pooling_layer=False), cfg2, d2)
+    with pytest.raises(ValueError, match="rotary"):
+        convert_esm_from_hf(d2)
 
 
 def test_plus_rnn_matches_torch_packed_bilstm(tmp_path):
