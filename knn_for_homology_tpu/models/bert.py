@@ -56,9 +56,11 @@ PROTBERT = BertConfig(
     max_positions=40000, pre_norm=False,
 )
 # ProtAlbert-BFD (Rostlab): ALBERT with a factorized [vocab, 128]
-# embedding, 12 shared layers, tanh-approx GELU ("gelu_new")
+# embedding, 12 shared layers, tanh-approx GELU ("gelu_new"); its
+# sentencepiece has 34 entries (conversion overrides every shape from the
+# checkpoint's config.json, and the tokenizer table from its vocab files)
 PROTALBERT = BertConfig(
-    vocab_size=30, d_model=4096, d_ff=16384, num_layers=12, num_heads=64,
+    vocab_size=34, d_model=4096, d_ff=16384, num_layers=12, num_heads=64,
     max_positions=40000, pre_norm=False, share_layers=True, embed_dim=128,
     gelu_exact=False, layer_norm_eps=1e-12,
 )
@@ -207,12 +209,15 @@ ESM_VOCAB = {aa: i + 4 for i, aa in enumerate(ESM_TOKENS)}
 ESM_CLS, ESM_PAD, ESM_EOS, ESM_UNK = 0, 1, 2, 3
 
 
-def tokenize_esm(sequence: str, max_len: int = 1022) -> np.ndarray:
+def tokenize_esm(
+    sequence: str, max_len: int = 1022, vocab=None
+) -> np.ndarray:
     """<cls> + residues (truncated to 1022, reference: cath/embed.py:80-82)
-    + <eos>."""
+    + <eos>. `vocab` overrides the residue table (converted checkpoints)."""
+    table = vocab or ESM_VOCAB
     ids = [ESM_CLS]
     for aa in sequence[:max_len].upper():
-        ids.append(ESM_VOCAB.get(aa, ESM_UNK))
+        ids.append(table.get(aa, ESM_UNK))
     ids.append(ESM_EOS)
     return np.asarray(ids, dtype=np.int32)
 
@@ -226,10 +231,14 @@ BERT_VOCAB = {aa: i + 5 for i, aa in enumerate(BERT_TOKENS)}
 BERT_PAD, BERT_UNK, BERT_CLS, BERT_SEP = 0, 1, 2, 3
 
 
-def tokenize_bert(sequence: str, max_len: int = 39998) -> np.ndarray:
-    """[CLS] + residues + [SEP] (BERT-family pLMs)."""
+def tokenize_bert(
+    sequence: str, max_len: int = 39998, vocab=None
+) -> np.ndarray:
+    """[CLS] + residues + [SEP] (BERT-family pLMs). `vocab` overrides the
+    residue table (converted checkpoints)."""
+    table = vocab or BERT_VOCAB
     ids = [BERT_CLS]
     for aa in sequence[:max_len].upper():
-        ids.append(BERT_VOCAB.get(aa, BERT_UNK))
+        ids.append(table.get(aa, BERT_UNK))
     ids.append(BERT_SEP)
     return np.asarray(ids, dtype=np.int32)

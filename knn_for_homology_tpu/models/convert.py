@@ -13,6 +13,7 @@ loading the converted .npz needs only numpy.
 """
 
 import json
+import re
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
@@ -294,6 +295,49 @@ def convert_bert_from_hf(model_dir: Path, pre_norm: bool = False):
     return config, params
 
 
+# --- HF tokenizer tables -----------------------------------------------------------
+
+
+def read_hf_tokenizer_vocab(model_dir: Path):
+    """Residue → token-id table from the tokenizer files of an HF
+    checkpoint directory: tokenizer.json (fast tokenizers; BPE/WordPiece
+    dict or unigram list) or vocab.txt (WordPiece). Only single-letter
+    pieces are kept (the sentencepiece word-start marker ▁ is stripped),
+    so special tokens keep their per-family constants. Returns None when
+    no readable tokenizer file exists (e.g. a spiece.model-only checkpoint
+    — sentencepiece is not installed here); callers then fall back to the
+    documented default ordering, which MUST be verified against the real
+    tokenizer before trusting embeddings.
+    """
+    model_dir = Path(model_dir)
+    tj = model_dir / "tokenizer.json"
+    if tj.exists():
+        data = json.loads(tj.read_text())
+        vocab = data.get("model", {}).get("vocab")
+        table: Dict[str, int] = {}
+        if isinstance(vocab, dict):  # BPE / WordPiece
+            for tok, idx in vocab.items():
+                t = tok.lstrip("▁")
+                if len(t) == 1 and t.isalpha():
+                    table.setdefault(t.upper(), int(idx))
+        elif isinstance(vocab, list):  # unigram: [[piece, score], ...]
+            for idx, item in enumerate(vocab):
+                t = str(item[0]).lstrip("▁")
+                if len(t) == 1 and t.isalpha():
+                    table.setdefault(t.upper(), idx)
+        if table:
+            return table
+    vt = model_dir / "vocab.txt"
+    if vt.exists():
+        table = {}
+        for idx, line in enumerate(vt.read_text().splitlines()):
+            tok = line.strip()
+            if len(tok) == 1 and tok.isalpha():
+                table.setdefault(tok.upper(), idx)
+        return table or None
+    return None
+
+
 # --- HF ESM (ESM-1b) → BertConfig params ------------------------------------------
 
 
@@ -367,8 +411,15 @@ def convert_esm_from_hf(model_dir: Path):
                 "ln2_b": v(f"{base}.LayerNorm.bias"),
             }
         )
+    embedding = v("embeddings.word_embeddings.weight")
+    if hf.get("token_dropout", False):
+        # ESM-1b trains with mask-token dropout; at inference with no
+        # <mask> in the input HF scales word embeddings by
+        # (1 - 0.15*0.8) BEFORE adding positions — fold it into the table
+        # (the position table is added after, so it must stay unscaled)
+        embedding = embedding * (1.0 - 0.15 * 0.8)
     params = {
-        "embedding": v("embeddings.word_embeddings.weight"),
+        "embedding": embedding,
         "position_embedding": v("embeddings.position_embeddings.weight"),
         "emb_ln": v("embeddings.layer_norm.weight"),
         "emb_ln_b": v("embeddings.layer_norm.bias"),
@@ -557,10 +608,20 @@ def convert_cpcprot_from_torch(
         return np.asarray(sd[name], dtype=np.float32)
 
     embedding = get(embed_key)
+
+    def natural(key):  # conv10 must sort after conv2
+        return [
+            int(part) if part.isdigit() else part
+            for part in re.split(r"(\d+)", key)
+        ]
+
     conv_keys = sorted(
-        k for k, v in sd.items()
-        if k.startswith("encoder.") and k.endswith(".weight")
-        and np.ndim(sd[k]) == 3
+        (
+            k for k, v in sd.items()
+            if k.startswith("encoder.") and k.endswith(".weight")
+            and np.ndim(sd[k]) == 3
+        ),
+        key=natural,
     )
     convs, spec = [], []
     for key in conv_keys:

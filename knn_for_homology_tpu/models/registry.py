@@ -223,6 +223,7 @@ class BertEmbedder(EmbedderBase):
         token_budget: int = DEFAULT_TOKEN_BATCH,
     ):
         self.name = arch
+        self.vocab = None  # None = documented per-family default table
         if params is not None:
             self.config = config or self.ARCHES[arch]
             self.params = params
@@ -237,6 +238,7 @@ class BertEmbedder(EmbedderBase):
                     "ProtAlbert BFD": convert.convert_albert_from_hf,
                 }[arch]
                 self.config, self.params = converter(Path(checkpoint))
+                self.vocab = convert.read_hf_tokenizer_vocab(Path(checkpoint))
             else:
                 from .convert import load_params
 
@@ -246,6 +248,9 @@ class BertEmbedder(EmbedderBase):
                     bert.BertConfig(**cfg) if cfg else self.ARCHES[arch]
                 )
                 self.params = loaded
+                vocab = meta.get("vocab")
+                if vocab is not None:
+                    self.vocab = {str(k): int(v) for k, v in vocab.items()}
         else:
             raise ValueError(
                 f"{arch}: no checkpoint installed — pass `checkpoint=` "
@@ -272,7 +277,8 @@ class BertEmbedder(EmbedderBase):
             sequences, self.token_budget, self.max_len, bucket=bucket
         ):
             tokens = [
-                self._tokenize(s, self.max_len) for s in batch.sequences
+                self._tokenize(s, self.max_len, self.vocab)
+                for s in batch.sequences
             ]
             # learned positions cap the padded length
             target = min(batch.padded_len + 2, usable)
@@ -361,11 +367,15 @@ class XLNetEmbedder(EmbedderBase):
             self.params = params
         elif checkpoint is not None:
             if Path(checkpoint).is_dir():  # HF checkpoint: convert in place
-                from .convert import convert_xlnet_from_hf
+                from .convert import (
+                    convert_xlnet_from_hf,
+                    read_hf_tokenizer_vocab,
+                )
 
                 self.config, self.params = convert_xlnet_from_hf(
                     Path(checkpoint)
                 )
+                self.vocab = read_hf_tokenizer_vocab(Path(checkpoint))
             else:
                 from .convert import load_params
 
@@ -431,7 +441,7 @@ class PlusRnnEmbedder(EmbedderBase):
             from .convert import convert_plus_rnn_from_torch, load_params
 
             path = Path(checkpoint)
-            if path.suffix in (".pt", ".bin"):
+            if path.is_dir() or path.suffix in (".pt", ".bin"):
                 self.config, self.params = convert_plus_rnn_from_torch(path)
             else:
                 loaded, meta = load_params(path)
@@ -496,7 +506,7 @@ class CPCProtEmbedder(EmbedderBase):
             from .convert import convert_cpcprot_from_torch, load_params
 
             path = Path(checkpoint)
-            if path.suffix in (".pt", ".bin"):
+            if path.is_dir() or path.suffix in (".pt", ".bin"):
                 self.config, self.params = convert_cpcprot_from_torch(path)
             else:
                 loaded, meta = load_params(path)
@@ -510,6 +520,9 @@ class CPCProtEmbedder(EmbedderBase):
                     cpcprot.CPCProtConfig(**cfg) if cfg else cpcprot.CPCPROT
                 )
                 self.params = loaded
+                vocab = meta.get("vocab")
+                if vocab is not None:
+                    self.vocab = {str(k): int(v) for k, v in vocab.items()}
         else:
             raise ValueError(
                 f"{self.name}: no checkpoint installed — pass `checkpoint=` "

@@ -168,10 +168,13 @@ def test_xlnet_matches_hf_with_padding(tmp_path):
     np.testing.assert_allclose(got[1], want[1], atol=ATOL)
 
 
-def test_esm_matches_hf_esmmodel(tmp_path):
+@pytest.mark.parametrize("token_dropout", [False, True])
+def test_esm_matches_hf_esmmodel(tmp_path, token_dropout):
     """ESM-1b-style conversion (pre-LN, learned positions offset 2, exact
     GELU): matches HF EsmModel, driven through the registry embedder with
-    an HF checkpoint directory."""
+    an HF checkpoint directory. The real facebook/esm1b checkpoint has
+    token_dropout=True — HF then scales word embeddings by (1-0.15*0.8)
+    when no <mask> is present, which conversion folds into the table."""
     from knn_for_homology_tpu.models import bert
     from knn_for_homology_tpu.models.convert import convert_esm_from_hf
     from knn_for_homology_tpu.models.registry import BertEmbedder
@@ -180,7 +183,8 @@ def test_esm_matches_hf_esmmodel(tmp_path):
         vocab_size=33, hidden_size=32, num_hidden_layers=2,
         num_attention_heads=4, intermediate_size=64,
         max_position_embeddings=40, position_embedding_type="absolute",
-        emb_layer_norm_before=True, token_dropout=False, pad_token_id=1,
+        emb_layer_norm_before=True, token_dropout=token_dropout,
+        pad_token_id=1,
         mask_token_id=32, hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
     )
@@ -257,6 +261,80 @@ def test_plus_rnn_matches_torch_packed_bilstm(tmp_path):
     )
     for row, n in enumerate(lengths):
         np.testing.assert_allclose(got[row, :n], want[row, :n], atol=ATOL)
+
+
+def test_read_hf_tokenizer_vocab_and_embedder_override(tmp_path):
+    """Converted HF dirs pick up the checkpoint's own residue→id table
+    (vocab.txt / tokenizer.json), not the hard-coded default order."""
+    import json as _json
+
+    from knn_for_homology_tpu.models.convert import read_hf_tokenizer_vocab
+    from knn_for_homology_tpu.models.registry import BertEmbedder
+
+    # WordPiece vocab.txt with a DIFFERENT residue order than the default
+    d1 = tmp_path / "wp"
+    d1.mkdir()
+    (d1 / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                  + list("ACDEFGHIKLMNPQRSTVWY"))
+    )
+    table = read_hf_tokenizer_vocab(d1)
+    assert table["A"] == 5 and table["Y"] == 24 and "[PAD]" not in table
+
+    # tokenizer.json (unigram list) with sentencepiece ▁ markers
+    d2 = tmp_path / "sp"
+    d2.mkdir()
+    (d2 / "tokenizer.json").write_text(_json.dumps({
+        "model": {"vocab": [["<pad>", 0.0], ["▁L", -1.0], ["▁A", -2.0],
+                            ["G", -3.0]]}
+    }))
+    table2 = read_hf_tokenizer_vocab(d2)
+    assert table2 == {"L": 1, "A": 2, "G": 3}
+
+    # no tokenizer files → None (caller keeps the documented default)
+    d3 = tmp_path / "none"
+    d3.mkdir()
+    assert read_hf_tokenizer_vocab(d3) is None
+
+    # end-to-end: an ESM HF dir with vocab.txt changes the tokens used
+    cfg = transformers.EsmConfig(
+        vocab_size=33, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, position_embedding_type="absolute",
+        emb_layer_norm_before=True, token_dropout=False, pad_token_id=1,
+        mask_token_id=32,
+    )
+    torch.manual_seed(2)
+    model = transformers.EsmModel(cfg, add_pooling_layer=False).eval()
+    _dump(model, cfg, d1)
+    emb = BertEmbedder(arch="ESM1b", checkpoint=d1)
+    assert emb.vocab is not None and emb.vocab["A"] == 5
+    out_with = list(emb.embed_per_residue(["MKVLA"]))[0]
+    emb.vocab = None  # default table gives different ids → different output
+    out_without = list(emb.embed_per_residue(["MKVLA"]))[0]
+    assert not np.allclose(out_with, out_without)
+
+
+def test_cpcprot_conv_order_natural_sort(tmp_path):
+    """Ten+ conv layers must load in numeric order (conv10 after conv9)."""
+    from knn_for_homology_tpu.models.convert import convert_cpcprot_from_torch
+
+    torch.manual_seed(3)
+    sd = {"encoder.embedding.weight": torch.randn(30, 4)}
+    in_ch = 4
+    for i in range(11):
+        out_ch = 4 + i  # strictly increasing → order is observable
+        sd[f"encoder.conv{i}.weight"] = torch.randn(out_ch, in_ch, 3)
+        sd[f"encoder.conv{i}.bias"] = torch.zeros(out_ch)
+        in_ch = out_ch
+    gru = torch.nn.GRU(input_size=14, hidden_size=6, batch_first=True)
+    sd.update({f"autoregressor.{k}": v for k, v in gru.state_dict().items()})
+    torch.save(sd, tmp_path / "deep.pt")
+    config, params = convert_cpcprot_from_torch(tmp_path / "deep.pt")
+    assert config.conv_spec == tuple((4 + i, 3) for i in range(11))
+    assert [p["w"].shape[2] for p in params["convs"]] == [
+        4 + i for i in range(11)
+    ]
 
 
 def test_cpcprot_matches_torch_conv_gru(tmp_path):
