@@ -7,10 +7,13 @@ Mirrors the reference's embedder-by-name registry
   embed_pooled(sequences)      → [N, d] mean-pooled vectors
   reduce_per_protein(emb)      → mean over residues
 
-Native JAX encoders: ProtT5 family (models/t5.py, checkpoints via
-models/convert.py), SeqVec/ELMo (models/elmo.py, 4 layer variants exposed
-like reference: cath/embed.py:100-105), and the AA-composition numpy
-baseline (reference: cath/embed_all.py:23-44). Registry names match the
+Native JAX encoders (checkpoints via models/convert.py): ProtT5 family
+(models/t5.py), SeqVec/ELMo (models/elmo.py, 4 layer variants exposed
+like reference: cath/embed.py:100-105), ESM/ESM1b/ProtBert/ProtAlbert
+(models/bert.py), ProtXLNet (models/xlnet.py), UniRep (models/unirep.py),
+PLUS-RNN (models/plus_rnn.py), CPCProt (models/cpcprot.py), and the
+AA-composition numpy baseline (reference: cath/embed_all.py:23-44) — all
+11 reference embedders. Registry names match the
 reference so CATH pipeline outputs keep their file names. Embedders whose
 checkpoints are not installed raise a clear error at construction, not at
 import (the reference isolates embedder crashes with subprocesses —
