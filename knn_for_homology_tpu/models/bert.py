@@ -235,10 +235,13 @@ def tokenize_bert(
     sequence: str, max_len: int = 39998, vocab=None
 ) -> np.ndarray:
     """[CLS] + residues + [SEP] (BERT-family pLMs). `vocab` overrides the
-    residue table (converted checkpoints)."""
+    residue table (converted checkpoints). Rare residues U/Z/O/B map to X,
+    matching bio_embeddings' ProtTrans preprocessing (the reference runs
+    every ProtTrans model through re.sub("[UZOB]", "X", ...)); ESM keeps
+    them because its alphabet covers them natively (tokenize_esm)."""
     table = vocab or BERT_VOCAB
     ids = [BERT_CLS]
     for aa in sequence[:max_len].upper():
-        ids.append(table.get(aa, BERT_UNK))
+        ids.append(table.get("X" if aa in "UZOB" else aa, BERT_UNK))
     ids.append(BERT_SEP)
     return np.asarray(ids, dtype=np.int32)

@@ -114,13 +114,23 @@ def _read_hf_state_dict(model_dir: Path) -> Dict[str, np.ndarray]:
     bins = sorted(model_dir.glob("pytorch_model*.bin"))
     if not bins:
         raise FileNotFoundError(f"no checkpoint files in {model_dir}")
-    import torch
-
     state = {}
     for f in bins:
-        for key, val in torch.load(f, map_location="cpu").items():
+        for key, val in _torch_load(f).items():
             state[key] = val.float().numpy()
     return state
+
+
+def _torch_load(path):
+    """torch.load restricted to tensors (weights_only) so converting an
+    untrusted downloaded .bin cannot execute pickle code; falls back for
+    torch builds that predate the kwarg."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:
+        return torch.load(path, map_location="cpu")
 
 
 def convert_t5_from_hf(
@@ -597,11 +607,8 @@ def convert_cpcprot_from_torch(
     if path.is_dir():
         sd = _read_hf_state_dict(path)
     else:
-        import torch
-
         sd = {
-            k: v.float().numpy()
-            for k, v in torch.load(path, map_location="cpu").items()
+            k: v.float().numpy() for k, v in _torch_load(path).items()
         }
 
     def get(name):
@@ -677,11 +684,8 @@ def convert_plus_rnn_from_torch(
     if path.is_dir():
         sd = _read_hf_state_dict(path)
     else:
-        import torch
-
         sd = {
-            k: v.float().numpy()
-            for k, v in torch.load(path, map_location="cpu").items()
+            k: v.float().numpy() for k, v in _torch_load(path).items()
         }
 
     def get(name):

@@ -178,8 +178,13 @@ XLNET_VOCAB = {aa: i + 7 for i, aa in enumerate(XLNET_TOKENS)}
 
 
 def tokenize(sequence: str, vocab=None) -> np.ndarray:
-    """Residues + <sep> + <cls> — XLNet appends specials at the END."""
+    """Residues + <sep> + <cls> — XLNet appends specials at the END.
+    U/Z/O/B → X per bio_embeddings' ProtTrans preprocessing (same as
+    t5.tokenize / tokenize_bert)."""
     table = vocab or XLNET_VOCAB
-    ids = [table.get(aa, XLNET_UNK) for aa in sequence.upper()]
+    ids = [
+        table.get("X" if aa in "UZOB" else aa, XLNET_UNK)
+        for aa in sequence.upper()
+    ]
     ids.extend([XLNET_SEP, XLNET_CLS])
     return np.asarray(ids, dtype=np.int32)

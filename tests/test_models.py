@@ -63,6 +63,31 @@ def test_t5_tokenizer_rare_residues():
     assert toks.tolist() == [3, x_id, x_id, x_id, x_id, x_id, t5.EOS_ID]
 
 
+def test_bert_xlnet_tokenizers_rare_residues():
+    """All ProtTrans-family tokenizers map U/Z/O/B → X (bio_embeddings
+    preprocessing); ESM keeps them — its alphabet covers them natively."""
+    from knn_for_homology_tpu.models import bert, xlnet
+
+    b = bert.tokenize_bert("UZOB")
+    assert b.tolist() == [bert.BERT_CLS] + [bert.BERT_VOCAB["X"]] * 4 + [
+        bert.BERT_SEP
+    ]
+    x = xlnet.tokenize("UZOB")
+    assert x.tolist() == [xlnet.XLNET_VOCAB["X"]] * 4 + [
+        xlnet.XLNET_SEP,
+        xlnet.XLNET_CLS,
+    ]
+    e = bert.tokenize_esm("UZOB")
+    assert e.tolist() == [
+        bert.ESM_CLS,
+        bert.ESM_VOCAB["U"],
+        bert.ESM_VOCAB["Z"],
+        bert.ESM_VOCAB["O"],
+        bert.ESM_VOCAB["B"],
+        bert.ESM_EOS,
+    ]
+
+
 def test_seqvec_shapes_and_variants(tiny_seqvec):
     embs = list(tiny_seqvec.embed_per_residue(SEQS[:2]))
     d = 2 * elmo.TINY_ELMO.proj_dim
