@@ -298,8 +298,9 @@ def score_evalue_correlation(
     alignment E-values (reference: cath/cath.py:938-952)."""
     from scipy.stats import pearsonr, spearmanr
 
-    logged = np.log(np.asarray(e_values, dtype=np.float64))
-    logged[np.isinf(logged)] = -1e9
+    # E-value 0 (mmseqs reports exact 0 for overwhelming hits) would warn
+    # and produce -inf; clamp like merged_coverage_curve does
+    logged = np.log(np.maximum(np.asarray(e_values, dtype=np.float64), 1e-300))
     pearson = pearsonr(scores, logged)
     spearman = spearmanr(scores, e_values)
     return {

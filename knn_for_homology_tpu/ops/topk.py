@@ -165,7 +165,13 @@ def flat_topk(
 ):
     """Strategy dispatcher: blocks queries on the host, picks one-shot vs
     streaming per block by similarity-buffer size. Returns (sims, ids) with
-    the internal bigger-is-better convention."""
+    the internal bigger-is-better convention.
+
+    On TPU the exact large-k path routes to the fused Pallas segment-top-R
+    kernel (ops/exact_pallas.py) — `lax.top_k`'s full-row sort is the
+    exact-mode bottleneck (measured 0.96 s per [4096, 131072] block, the
+    whole budget); small k stays with the flat_pallas kernel via FlatIndex.
+    """
     db = jnp.asarray(db)
     queries = jnp.asarray(queries)
     n = db.shape[0]
@@ -175,6 +181,15 @@ def flat_topk(
             jnp.zeros((0, k), jnp.float32),
             jnp.zeros((0, k), jnp.int32),
         )
+    if (
+        not approx
+        and k > 32
+        and db.shape[1] % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        from .exact_pallas import exact_pallas_topk
+
+        return exact_pallas_topk(db, queries, k, metric=metric)
     # shrink the query block until the one-shot buffer fits
     qb = min(query_block, q_n) or 1
     while qb > 256 and qb * n * 4 > ONESHOT_SIM_BYTES:

@@ -37,10 +37,10 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "expand", "iters", "k", "metric"),
+    static_argnames=("beam_width", "expand", "iters", "k", "metric", "rescore"),
 )
 def beam_search(
-    db: jnp.ndarray,  # [N, d]
+    db: jnp.ndarray,  # [N, d] fp32 (exact rescoring)
     graph: jnp.ndarray,  # [N, degree] int32
     queries: jnp.ndarray,  # [Q, d]
     entry_ids: jnp.ndarray,  # [S] int32 start points (shared)
@@ -50,27 +50,47 @@ def beam_search(
     iters: int = 24,
     metric: str = "cosine",
     n_valid=None,  # traced scalar: rows ≥ n_valid never score (shard pads)
+    db_traversal: Optional[jnp.ndarray] = None,  # [N, d] low-precision copy
+    rescore: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched beam search. Returns (sims [Q, k] desc, ids [Q, k])."""
+    """Batched beam search. Returns (sims [Q, k] desc, ids [Q, k]).
+
+    Traversal gathers+scores run on `db_traversal` (a bf16 copy by default:
+    the per-iteration adjacency gather is the bandwidth bottleneck, and
+    halving it is a straight 2x on the hot loop); the returned top-k is
+    re-scored against the fp32 `db` at HIGHEST precision so caller-visible
+    scores carry no reduced-precision artefacts (they are used downstream
+    as sort keys — merged coverage curves, slices assembly).
+    """
     q_n, d = queries.shape
     degree = graph.shape[1]
     beam_width = max(beam_width, k)
+    db_t = db.astype(jnp.bfloat16) if db_traversal is None else db_traversal
+    q_t = queries.astype(db_t.dtype)
 
-    def sim_to(ids):  # ids [Q, C] → sims [Q, C]
-        vecs = db[ids]  # gather [Q, C, d]
+    def sim_to(ids):  # ids [Q, C] → sims [Q, C] (traversal precision)
+        vecs = db_t[ids]  # gather [Q, C, d]
         s = jnp.einsum(
-            "qcd,qd->qc", vecs, queries, preferred_element_type=jnp.float32
+            "qcd,qd->qc", vecs, q_t, preferred_element_type=jnp.float32
         )
         if metric == "l2":
-            v_sq = jnp.sum(jnp.square(vecs), axis=-1)
+            v_sq = jnp.sum(
+                jnp.square(vecs.astype(jnp.float32)), axis=-1
+            )
             q_sq = jnp.sum(jnp.square(queries), axis=-1, keepdims=True)
             s = 2.0 * s - v_sq - q_sq
         if n_valid is not None:
             s = jnp.where(ids < n_valid, s, NEG_INF)
         return s
 
-    # init beam with the shared entry points
-    init_ids = jnp.broadcast_to(entry_ids[None, :], (q_n, entry_ids.shape[0]))
+    # init beam with the entry points ([S] shared, or [Q, S] per-query
+    # pivot-seeded starts)
+    if entry_ids.ndim == 1:
+        init_ids = jnp.broadcast_to(
+            entry_ids[None, :], (q_n, entry_ids.shape[0])
+        )
+    else:
+        init_ids = entry_ids
     init_sims = sim_to(init_ids)
     pad = beam_width - init_ids.shape[1]
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
@@ -79,26 +99,6 @@ def beam_search(
         jnp.zeros_like(init_sims, dtype=bool), ((0, 0), (0, pad)),
         constant_values=True,  # padding counts as expanded
     )
-
-    def dedup_and_topk(ids, sims, expanded):
-        """Kill duplicate ids per row (keep the first = the expanded copy),
-        then rebuild the beam with one top_k."""
-        order = jnp.argsort(ids, axis=1, stable=True)
-        s_ids = jnp.take_along_axis(ids, order, axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((ids.shape[0], 1), bool), s_ids[:, 1:] == s_ids[:, :-1]],
-            axis=1,
-        )
-        # scatter dup flags back to original order
-        inv = jnp.argsort(order, axis=1, stable=True)
-        dup = jnp.take_along_axis(dup, inv, axis=1)
-        sims = jnp.where(dup | (ids < 0), NEG_INF, sims)
-        vals, sel = jax.lax.top_k(sims, beam_width)
-        return (
-            jnp.take_along_axis(ids, sel, axis=1),
-            vals,
-            jnp.take_along_axis(expanded, sel, axis=1),
-        )
 
     def body(_, state):
         beam_ids, beam_sims, beam_expanded = state
@@ -117,18 +117,56 @@ def beam_search(
             (sel_ids < 0).repeat(degree, axis=1), -1, nbrs
         )
         n_sims = sim_to(jnp.clip(nbrs, 0, db.shape[0] - 1))
-        n_sims = jnp.where(nbrs < 0, NEG_INF, n_sims)
+        # dedup by broadcast compare instead of sort: a candidate dies if it
+        # matches any beam entry or an earlier candidate (three argsorts per
+        # iteration were the old cost; [Q,C,B]+[Q,C,C] compares fuse into
+        # two reduce_any's on the VPU and never touch HBM)
+        dup_beam = jnp.any(
+            nbrs[:, :, None] == beam_ids[:, None, :], axis=2
+        )
+        c = nbrs.shape[1]
+        earlier = jnp.tril(jnp.ones((c, c), dtype=bool), k=-1)
+        dup_intra = jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :]) & earlier[None], axis=2
+        )
+        n_sims = jnp.where(dup_beam | dup_intra | (nbrs < 0), NEG_INF, n_sims)
         ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         sims = jnp.concatenate([beam_sims, n_sims], axis=1)
         expanded = jnp.concatenate(
             [beam_expanded, jnp.zeros_like(n_sims, dtype=bool)], axis=1
         )
-        return dedup_and_topk(ids, sims, expanded)
+        vals, sel2 = jax.lax.top_k(sims, beam_width)
+        return (
+            jnp.take_along_axis(ids, sel2, axis=1),
+            vals,
+            jnp.take_along_axis(expanded, sel2, axis=1),
+        )
 
     beam_ids, beam_sims, beam_expanded = jax.lax.fori_loop(
         0, iters, body, (beam_ids, beam_sims, beam_expanded)
     )
-    return beam_sims[:, :k], beam_ids[:, :k]
+    top_ids = beam_ids[:, :k]
+    if not rescore:
+        return beam_sims[:, :k], top_ids
+    # exact rescore of the winners (fp32, HIGHEST — ADVICE r1: traversal
+    # scores are reduced-precision and were caller-visible sort keys)
+    safe = jnp.clip(top_ids, 0, db.shape[0] - 1)
+    vecs = db[safe]
+    s = jnp.einsum(
+        "qcd,qd->qc", vecs, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        v_sq = jnp.sum(jnp.square(vecs), axis=-1)
+        q_sq = jnp.sum(jnp.square(queries), axis=-1, keepdims=True)
+        s = 2.0 * s - v_sq - q_sq
+    s = jnp.where(top_ids < 0, NEG_INF, s)
+    if n_valid is not None:
+        s = jnp.where(top_ids < n_valid, s, NEG_INF)
+    # restore descending order under the exact scores (ties: id ascending)
+    neg, ids_sorted = jax.lax.sort((-s, top_ids), num_keys=2)
+    return -neg, ids_sorted
 
 
 def nn_descent_build(
@@ -204,6 +242,24 @@ def nn_descent_build(
     return graph
 
 
+@functools.partial(jax.jit, static_argnames=("n_entry", "metric"))
+def _seed_entries(db_t, pivot_ids, queries, n_entry, metric):
+    """Per-query entry points: score queries against a strided pivot sample
+    exactly once (one skinny matmul) and start the beam at the best
+    `n_entry` pivots — far better starts than shared strided entries, which
+    cuts the iteration budget needed for a given recall."""
+    p_vecs = db_t[pivot_ids]
+    s = jnp.einsum(
+        "pd,qd->qp", p_vecs, queries.astype(db_t.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        v_sq = jnp.sum(jnp.square(p_vecs.astype(jnp.float32)), axis=-1)
+        s = 2.0 * s - v_sq[None, :]
+    _, sel = jax.lax.top_k(s, min(n_entry, pivot_ids.shape[0]))
+    return pivot_ids[sel]
+
+
 class GraphIndex:
     """Neighbour-graph ANN over device-resident vectors."""
 
@@ -219,6 +275,7 @@ class GraphIndex:
         expand: int = 8,  # measured: expand=8/iters=16 is 1.4x faster than 4/32 at HNSW-class recall (2174 qps @ 0.972 at n=131k)
         iters: Optional[int] = None,
         n_entry: int = 32,
+        n_pivots: int = 1024,  # 0 → shared strided entry points
         build: str = "auto",  # auto | exact | nn-descent
         config: Optional[SearchConfig] = None,
     ):
@@ -231,9 +288,18 @@ class GraphIndex:
         self.expand = expand
         self.iters = iters
         self.n_entry = n_entry
+        self.n_pivots = n_pivots
         self.config = config or SearchConfig(metric=metric)
         self._db: Optional[jnp.ndarray] = None
         self._graph: Optional[jnp.ndarray] = None
+        self._db_t: Optional[jnp.ndarray] = None
+
+    def _db_traversal(self) -> jnp.ndarray:
+        """bf16 copy used for beam gathers/scoring (half the HBM traffic of
+        the fp32 rows; the final top-k is rescored fp32/HIGHEST)."""
+        if self._db_t is None or self._db_t.shape != self._db.shape:
+            self._db_t = self._db.astype(jnp.bfloat16)
+        return self._db_t
 
     @property
     def ntotal(self) -> int:
@@ -278,14 +344,24 @@ class GraphIndex:
         step = max(n // max(self.n_entry, 1), 1)
         return jnp.arange(0, n, step, dtype=jnp.int32)[: self.n_entry]
 
+    def _pivot_ids(self) -> jnp.ndarray:
+        n = self.ntotal
+        count = min(self.n_pivots, n)
+        step = max(n // max(count, 1), 1)
+        return jnp.arange(0, n, step, dtype=jnp.int32)[:count]
+
+    # query block: bounds the [Q, C, beam] dedup-compare intermediates and
+    # gather buffers regardless of Q
+    QUERY_BLOCK = 4096
+
     def search(
         self, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._db is None:
             raise ValueError("index is empty; call add() first")
-        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        q_all = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         if self.metric == "cosine":
-            q = l2_normalize(q)
+            q_all = l2_normalize(q_all)
         beam = max(self.beam_width, k)
         # default iteration budget: enough expansions to fill the beam
         # (`is None`, not falsy: iters=0 legitimately skips expansion)
@@ -294,18 +370,32 @@ class GraphIndex:
             if self.iters is not None
             else max(8, beam // max(self.expand, 1) // 2)
         )
-        sims, ids = beam_search(
-            self._db,
-            self._graph,
-            q,
-            self._entry_points(),
-            k=min(k, self.ntotal),
-            beam_width=beam,
-            expand=self.expand,
-            iters=iters,
-            metric=self.metric,
-        )
-        sims, ids = np.asarray(sims), np.asarray(ids)
+        db_t = self._db_traversal()
+        sims_out, ids_out = [], []
+        for start in range(0, q_all.shape[0], self.QUERY_BLOCK):
+            q = q_all[start : start + self.QUERY_BLOCK]
+            if self.n_pivots > 0:
+                entries = _seed_entries(
+                    db_t, self._pivot_ids(), q, self.n_entry, self.metric
+                )
+            else:
+                entries = self._entry_points()
+            s, i = beam_search(
+                self._db,
+                self._graph,
+                q,
+                entries,
+                k=min(k, self.ntotal),
+                beam_width=beam,
+                expand=self.expand,
+                iters=iters,
+                metric=self.metric,
+                db_traversal=db_t,
+            )
+            sims_out.append(np.asarray(s))
+            ids_out.append(np.asarray(i))
+        sims = np.concatenate(sims_out, axis=0)
+        ids = np.concatenate(ids_out, axis=0)
         if k > self.ntotal:
             pad = k - self.ntotal
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
@@ -321,6 +411,7 @@ class GraphIndex:
             "beam_width": self.beam_width,
             "expand": self.expand,
             "n_entry": self.n_entry,
+            "n_pivots": self.n_pivots,
             "iters": self.iters if self.iters is not None else -1,
             "build": self.build,
             "vectors": np.asarray(self._db),
@@ -336,6 +427,7 @@ class GraphIndex:
             beam_width=int(state["beam_width"]),
             expand=int(state["expand"]),
             n_entry=int(state["n_entry"]),
+            n_pivots=int(state["n_pivots"]) if "n_pivots" in state else 1024,
             iters=None if iters < 0 else iters,
             build=str(state["build"]) if "build" in state else "auto",
         )

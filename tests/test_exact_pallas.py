@@ -1,0 +1,111 @@
+"""exact_pallas_topk must be bit-identical to lax.top_k (the FAISS-parity
+contract for the large-k exact engine), including its tie order, across
+metrics, awkward shapes, and the adversarial case that forces the
+certificate fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.ops import exact_pallas
+from knn_for_homology_tpu.ops.exact_pallas import exact_pallas_topk
+from knn_for_homology_tpu.ops.topk import oneshot_topk
+
+
+def _check(db, queries, k, metric="ip", **kw):
+    # ids must be bit-identical to lax.top_k; values agree within the
+    # tiled-vs-oneshot matmul accumulation-order difference (~1e-5, the
+    # same property the streaming engine has).
+    vals, ids = exact_pallas_topk(db, queries, k, metric=metric, **kw)
+    want_vals, want_ids = oneshot_topk(db, queries, k, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
+    np.testing.assert_allclose(
+        np.asarray(vals, np.float32),
+        np.asarray(want_vals, np.float32),
+        rtol=1e-5,
+        atol=1e-4,
+    )
+
+
+def test_matches_lax_topk_random():
+    rng = np.random.RandomState(0)
+    db = jnp.asarray(rng.randn(2000, 64).astype(np.float32))
+    q = jnp.asarray(rng.randn(37, 64).astype(np.float32))
+    _check(db, q, 300)
+
+
+def test_matches_lax_topk_l2():
+    rng = np.random.RandomState(1)
+    db = jnp.asarray(rng.randn(1500, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+    _check(db, q, 200, metric="l2")
+
+
+def test_ties_resolve_like_lax_topk():
+    # many duplicated rows → duplicated similarity values; tie order must
+    # be id-ascending like lax.top_k
+    rng = np.random.RandomState(2)
+    base = rng.randn(50, 16).astype(np.float32)
+    db = jnp.asarray(np.tile(base, (8, 1)))  # 400 rows, 8-fold value ties
+    q = jnp.asarray(rng.randn(9, 16).astype(np.float32))
+    _check(db, q, 120)
+
+
+def test_awkward_shapes_and_k_padding():
+    rng = np.random.RandomState(3)
+    db = jnp.asarray(rng.randn(333, 48).astype(np.float32))
+    q = jnp.asarray(rng.randn(5, 48).astype(np.float32))
+    _check(db, q, 333)  # k == n
+    # k > n: FAISS sentinel padding
+    vals, ids = exact_pallas_topk(db, q, 400)
+    assert ids.shape == (5, 400)
+    assert np.all(np.asarray(ids[:, 333:]) == -1)
+    assert np.all(np.isneginf(np.asarray(vals[:, 333:])))
+
+
+def test_empty_queries():
+    db = jnp.zeros((10, 8), jnp.float32)
+    vals, ids = exact_pallas_topk(db, jnp.zeros((0, 8), jnp.float32), 5)
+    assert vals.shape == (0, 5) and ids.shape == (0, 5)
+
+
+def test_adversarial_segment_forces_fallback_and_stays_exact():
+    # Plant > R of the top-k inside ONE strided segment (ids ≡ 3 mod 128
+    # with db_tile=128, r_slots=2) so the certificate must fire; the
+    # result must still be bit-identical to lax.top_k.
+    rng = np.random.RandomState(4)
+    d = 16
+    db_np = rng.randn(2048, d).astype(np.float32) * 0.01
+    spike = rng.randn(d).astype(np.float32)
+    spike /= np.linalg.norm(spike)
+    for row in range(3, 2048, 128):  # 16 rows, all in segment 3
+        db_np[row] = spike * (1.0 + 0.001 * row)
+    q = jnp.asarray(spike[None, :])
+    db = jnp.asarray(db_np)
+
+    vals, ids, suspect = exact_pallas._candidates_and_topk(
+        db, q, 8, 2, "ip", 128, 8, True, True
+    )
+    assert bool(np.asarray(suspect)[0]), "certificate must flag this row"
+
+    _check(db, q, 8, db_tile=128, r_slots=2)
+
+
+def test_bf16_storage_matches_bf16_oneshot():
+    rng = np.random.RandomState(5)
+    db = jnp.asarray(rng.randn(1024, 64).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    q = jnp.asarray(rng.randn(11, 64).astype(np.float32)).astype(jnp.bfloat16)
+    _check(db, q, 100)
+
+
+def test_certificate_not_suspect_on_spread_data():
+    rng = np.random.RandomState(6)
+    db = jnp.asarray(rng.randn(4096, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    _, _, suspect = exact_pallas._candidates_and_topk(
+        db, q, 64, 8, "ip", 512, 8, True, True
+    )
+    assert not np.asarray(suspect).any()
