@@ -151,6 +151,39 @@ def merged_auc1(
     return np.asarray(auc1s)
 
 
+def merge_ranked_rows(
+    hits_a: Sequence[np.ndarray],
+    evs_a: Sequence[np.ndarray],
+    hits_b: Sequence[np.ndarray],
+    evs_b: Sequence[np.ndarray],
+    k: int,
+) -> np.ndarray:
+    """The merged ranking itself (same two-pointer ascending-E merge with
+    dedup as merged_auc1) as padded [Q, k] hit rows, -1 beyond the merged
+    length — so TP@k / cumulative-TP of the *combined* method can be
+    computed with the standard row evaluators
+    (reference: pfam/pfam.py:456-459 "combined" result line)."""
+    out = np.full((len(hits_a), k), -1, dtype=np.int64)
+    for qi in range(len(hits_a)):
+        a_h, a_e = hits_a[qi], evs_a[qi]
+        b_h, b_e = hits_b[qi], evs_b[qi]
+        i = j = pos = 0
+        picked: Set[int] = set()
+        while pos < k and (i < len(a_h) or j < len(b_h)):
+            if j == len(b_h) or (i < len(a_h) and a_e[i] <= b_e[j]):
+                chosen = int(a_h[i])
+                i += 1
+            else:
+                chosen = int(b_h[j])
+                j += 1
+            if chosen in picked or chosen < 0:
+                continue
+            picked.add(chosen)
+            out[qi, pos] = chosen
+            pos += 1
+    return out
+
+
 def remove_self_hit_lossy(
     hits: np.ndarray, scores: np.ndarray, self_ids: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, int]:

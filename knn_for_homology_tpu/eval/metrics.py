@@ -118,16 +118,26 @@ def recall_at(
 
 
 def precision_recall_curve(
-    scores: np.ndarray, correct: np.ndarray, higher_is_better: bool = True
+    scores: np.ndarray,
+    correct: np.ndarray,
+    higher_is_better: bool = True,
+    total_relevant: float = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Micro-averaged PR curve over all (query, hit) pairs pooled and ranked
-    by score (reference: pfam/pfam.py:561-598 figure semantics)."""
+    by score (reference: pfam/pfam.py:561-598 figure semantics).
+
+    `total_relevant` is the recall denominator; the reference uses ALL
+    relevant pairs in the dataset (total_to_be_found = Q * family size,
+    pfam/pfam.py:562) so curves of methods that miss hits do not reach
+    recall 1. Defaults to the number of relevant pairs present in `correct`.
+    """
     flat_scores = np.asarray(scores).ravel()
     flat_correct = np.asarray(correct).ravel().astype(np.float64)
     order = np.argsort(-flat_scores if higher_is_better else flat_scores)
     flags = flat_correct[order]
     tp_cum = np.cumsum(flags)
     precision = tp_cum / np.arange(1, len(flags) + 1)
-    total_relevant = flags.sum()
+    if total_relevant is None:
+        total_relevant = flags.sum()
     recall = tp_cum / max(total_relevant, 1.0)
     return precision, recall

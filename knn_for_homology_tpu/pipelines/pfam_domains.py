@@ -24,6 +24,7 @@ from ..eval.metrics import (
     evaluate_rows,
     evaluate_string_results,
     hit_family_codes,
+    precision_recall_curve,
     tp_cumulative,
 )
 
@@ -47,6 +48,11 @@ def run(
     data = Dataset.from_dir(dataset_path, hits)
     queries = data.load_test()
     summary: Dict[str, float] = {}
+    sizes = data.train_family_sizes[data.test_family_codes].astype(np.float64)
+    total_relevant = float(sizes.sum())  # pfam/pfam.py:562 total_to_be_found
+
+    def tp_at(correct: np.ndarray, at: int) -> float:
+        return float((correct[:, : min(at, correct.shape[1])].sum(1) / sizes).mean())
 
     # --- kNN over LSH (the reference's precomputed path, pfam/pfam.py:49-50)
     if index_path is not None and Path(index_path).exists():
@@ -62,10 +68,10 @@ def run(
         data.test_family_codes,
         hit_family_codes(knn_hits, data.train_family_codes),
     )
-    summary["knn_tp10"] = float(
-        (knn_correct[:, :10].sum(1) /
-         data.train_family_sizes[data.test_family_codes]).mean()
-    )
+    summary["knn_tp10"] = tp_at(knn_correct, 10)
+    # the published anchor is TP@300 ("Mean TP (300): 0.839",
+    # pfam/pfam.py:459)
+    summary["knn_tp300"] = tp_at(knn_correct, 300)
 
     # --- kNN + alignment rescoring (pfam/pfam.py:468-533) ---
     aligned, aligned_evs, _ = align_rescore(data, knn_hits[:, :rescore_hits])
@@ -73,9 +79,30 @@ def run(
     summary["knn_align_auc1"] = float(np.mean(auc1s_al))
     summary["knn_align_tp"] = float(np.mean(tps_al))
 
+    # integer-row form of the aligned lists (ragged, ascending E)
+    train_row = {tid: i for i, tid in enumerate(data.train_ids)}
+    al_hits = [
+        np.asarray(
+            [train_row[t] for t in aligned.get(qid, [])], dtype=np.int64
+        )
+        for qid in data.test_ids
+    ]
+    al_evs = [
+        np.asarray(aligned_evs.get(qid, []), dtype=np.float64)
+        for qid in data.test_ids
+    ]
+    al_rows, al_ev_arr = _pad_ragged(al_hits, al_evs)
+    al_correct = correctness_matrix(
+        data.test_family_codes,
+        hit_family_codes(al_rows, data.train_family_codes),
+    )
+    summary["knn_align_tp10"] = tp_at(al_correct, 10)
+    summary["knn_align_tp300"] = tp_at(al_correct, 300)
+
     # --- MMseqs2 baselines when available (pfam/pfam.py:56-122) ---
     from ..interop import find_mmseqs
 
+    extra_cumulative = []  # (label, hit rows) for the cumulative-TP figure
     if find_mmseqs():
         from .. import interop
 
@@ -92,12 +119,14 @@ def run(
             a, t = evaluate_rows(data, hit_arr)
             summary[f"{tag}_auc1"] = float(np.mean(a))
             summary[f"{tag}_tp"] = float(np.mean(t))
+            mm_correct = correctness_matrix(
+                data.test_family_codes,
+                hit_family_codes(hit_arr, data.train_family_codes),
+            )
+            summary[f"{tag}_tp10"] = tp_at(mm_correct, 10)
+            summary[f"{tag}_tp300"] = tp_at(mm_correct, 300)
             if tag == "mmseqs":
                 # E-value cutoff combination sweep (pfam/pfam.py:166-199)
-                mm_correct = correctness_matrix(
-                    data.test_family_codes,
-                    hit_family_codes(hit_arr, data.train_family_codes),
-                )
                 e_sorted, combined, simple = analysis.top1_cutoff_sweep(
                     ev_arr[:, 0], mm_correct[:, 0], knn_correct[:, 0]
                 )
@@ -113,6 +142,69 @@ def run(
                         mmseqs_with_cutoff_accuracy=simple,
                     )
 
+                # TP-set overlap (pfam/pfam.py:349-370): which correct hits
+                # each method finds, as fractions of all relevant pairs
+                knn_tp_sets = [
+                    row[flag] for row, flag in zip(knn_hits, knn_correct)
+                ]
+                mm_tp_sets = [
+                    np.asarray(mm_hits[i])[
+                        np.asarray(mm_correct[i][: len(mm_hits[i])], bool)
+                    ]
+                    for i in range(len(mm_hits))
+                ]
+                overlap = analysis.hit_set_overlap(knn_tp_sets, mm_tp_sets)
+                summary["tp_overlap_only_knn"] = overlap["only_a"] / total_relevant
+                summary["tp_overlap_both"] = overlap["both"] / total_relevant
+                summary["tp_overlap_only_mmseqs"] = (
+                    overlap["only_b"] / total_relevant
+                )
+
+                # merged-by-E-value combined ranking of kNN+alignment and
+                # MMseqs2 (pfam/pfam.py:629-667 + the "combined" result line)
+                mm_hit_list = [np.asarray(mm_hits[i]) for i in range(len(mm_hits))]
+                mm_ev_list = [np.asarray(mm_evs[i]) for i in range(len(mm_evs))]
+                combined_auc1s = analysis.merged_auc1(
+                    al_hits, al_evs, mm_hit_list, mm_ev_list,
+                    data.train_family_codes, data.test_family_codes,
+                    data.train_family_sizes,
+                )
+                summary["combined_auc1"] = float(np.mean(combined_auc1s))
+                combined_rows = analysis.merge_ranked_rows(
+                    al_hits, al_evs, mm_hit_list, mm_ev_list, max(k, 300)
+                )
+                combined_correct = correctness_matrix(
+                    data.test_family_codes,
+                    hit_family_codes(combined_rows, data.train_family_codes),
+                )
+                summary["combined_tp10"] = tp_at(combined_correct, 10)
+                summary["combined_tp300"] = tp_at(combined_correct, 300)
+                extra_cumulative.append(("MMseqs2", hit_arr))
+                extra_cumulative.append(("Combined", combined_rows))
+
+                # precision-recall over pooled (query, hit) pairs for the
+                # three methods at both rank limits (pfam/pfam.py:561-598)
+                pr_raw = {}
+                for limit_name, limit in [("first_10", 10), ("300", 300)]:
+                    for label, scores_m, correct_m, hib in [
+                        ("mmseqs", ev_arr, mm_correct, False),
+                        ("knn", knn_scores, knn_correct, True),
+                        ("knn_aligned", al_ev_arr, al_correct, False),
+                    ]:
+                        lim = min(limit, scores_m.shape[1], correct_m.shape[1])
+                        precision, recall = precision_recall_curve(
+                            scores_m[:, :lim],
+                            correct_m[:, :lim],
+                            higher_is_better=hib,
+                            total_relevant=total_relevant,
+                        )
+                        pr_raw[f"{label}_{limit_name}_precision"] = precision
+                        pr_raw[f"{label}_{limit_name}_recall"] = recall
+                if figures_dir is not None:
+                    from ..eval.figures import save_raw
+
+                    save_raw(figures_dir, "precision_recall", **pr_raw)
+
     if figures_dir is not None:
         from ..eval.figures import figure_tp_cumulative, make_figure
 
@@ -120,11 +212,24 @@ def run(
             figures_dir, [auc1s, auc1s_al],
             ["k-NN", "k-NN + Alignment"], "AUC1", "pfam_auc1.jpg",
         )
-        figure_tp_cumulative(
-            figures_dir,
-            ["k-NN"],
-            [tp_cumulative(data, knn_hits)],
-            "tp_cumulative",
-        )
+        # cumulative TP for every method that ran (pfam/pfam.py:540-557)
+        curve_labels = ["k-NN", "k-NN + Alignment"]
+        curves = [tp_cumulative(data, knn_hits), tp_cumulative(data, al_rows)]
+        for label, rows in extra_cumulative:
+            curve_labels.append(label)
+            curves.append(tp_cumulative(data, rows))
+        figure_tp_cumulative(figures_dir, curve_labels, curves, "tp_cumulative")
     logger.info("pfam domain summary: %s", summary)
     return summary
+
+
+def _pad_ragged(hit_lists, ev_lists, sentinel_e: float = 1e5):
+    """Ragged per-query (hits, E-values) → rectangular arrays, -1 / sentinel
+    padded (the engine-wide missing-hit convention)."""
+    width = max(1, max(len(h) for h in hit_lists))
+    rows = np.full((len(hit_lists), width), -1, dtype=np.int64)
+    evs = np.full((len(hit_lists), width), sentinel_e, dtype=np.float64)
+    for i, (h, e) in enumerate(zip(hit_lists, ev_lists)):
+        rows[i, : len(h)] = h
+        evs[i, : len(e)] = e
+    return rows, evs

@@ -198,3 +198,51 @@ def test_class_imbalance_table():
     assert out["counts_possible"] == {"1": 2, "2": 1, "3": 1}
     assert out["M"]["1"] == 0.5
     assert out["M"]["2"] == 1.0
+
+
+def test_merge_ranked_rows_consistent_with_merged_auc1():
+    """The row-based merged ranking must induce the same AUC1 as the
+    dedicated merged_auc1 two-pointer (and expose TP@k of the combined
+    method, which merged_auc1 cannot)."""
+    from knn_for_homology_tpu.eval.metrics import auc1_tp_counts
+
+    rng = np.random.RandomState(11)
+    n_train, n_fam, q_n = 60, 6, 25
+    train_codes = rng.randint(0, n_fam, n_train)
+    query_codes = rng.randint(0, n_fam, q_n)
+    sizes = np.bincount(train_codes, minlength=n_fam)
+    hits_a, evs_a, hits_b, evs_b = [], [], [], []
+    for _ in range(q_n):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        hits_a.append(rng.randint(0, n_train, la))
+        evs_a.append(np.sort(rng.rand(la)))
+        hits_b.append(rng.randint(0, n_train, lb))
+        evs_b.append(np.sort(rng.rand(lb)))
+    want = analysis.merged_auc1(
+        hits_a, evs_a, hits_b, evs_b, train_codes, query_codes, sizes
+    )
+    rows = analysis.merge_ranked_rows(hits_a, evs_a, hits_b, evs_b, k=24)
+    codes = np.where(rows < 0, -1, train_codes[np.clip(rows, 0, n_train - 1)])
+    correct = codes == query_codes[:, None]
+    auc1_n, _ = auc1_tp_counts(correct)
+    got = auc1_n / sizes[query_codes]
+    np.testing.assert_allclose(got, want)
+
+
+def test_merge_ranked_rows_truncates_and_pads():
+    rows = analysis.merge_ranked_rows(
+        [np.asarray([3, 4, 5])], [np.asarray([0.1, 0.2, 0.3])],
+        [np.asarray([4, 6])], [np.asarray([0.15, 0.25])],
+        k=3,
+    )
+    # merged by E: 3(.1), 4(.15 from B — but 4 arrives first from... A has
+    # 4 at 0.2, B at 0.15 → B wins the tie-break by earlier E), 5/6
+    assert rows.shape == (1, 3)
+    assert rows[0, 0] == 3
+    assert set(rows[0].tolist()) <= {3, 4, 5, 6}
+    rows = analysis.merge_ranked_rows(
+        [np.asarray([3])], [np.asarray([0.1])],
+        [np.asarray([], dtype=np.int64)], [np.asarray([])],
+        k=4,
+    )
+    assert rows[0].tolist() == [3, -1, -1, -1]

@@ -287,16 +287,43 @@ def test_pfam_domains_run(reference_data_dir, tmp_path, monkeypatch):
         ds_dir, hits=100, lsh_bits=512, figures_dir=tmp_path / "figs",
         rescore_hits=10,
     )
+    # every number in the reference's result block (pfam/pfam.py:456-459:
+    # per-method AUC1 + TP@10 + TP@300, combined) plus the TP-set overlap
+    # (pfam/pfam.py:349-370) must be emitted
     for key in (
-        "knn_auc1", "knn_tp", "knn_tp10", "knn_align_auc1",
-        "mmseqs_auc1", "mmseqs_iterated_auc1", "combined_best",
+        "knn_auc1", "knn_tp", "knn_tp10", "knn_tp300",
+        "knn_align_auc1", "knn_align_tp10", "knn_align_tp300",
+        "mmseqs_auc1", "mmseqs_tp10", "mmseqs_tp300",
+        "mmseqs_iterated_auc1", "mmseqs_iterated_tp300",
+        "combined_best", "combined_auc1", "combined_tp10", "combined_tp300",
+        "tp_overlap_only_knn", "tp_overlap_both", "tp_overlap_only_mmseqs",
     ):
         assert key in summary, key
     assert 0 <= summary["knn_auc1"] <= 1
     assert summary["knn_align_auc1"] >= summary["knn_auc1"] - 0.05
+    # TP@300 dominates TP@10 (monotone in rank depth)
+    assert summary["knn_tp300"] >= summary["knn_tp10"] - 1e-12
+    assert summary["combined_tp300"] >= summary["combined_tp10"] - 1e-12
+    # overlap fractions are fractions of all relevant pairs
+    assert 0 <= summary["tp_overlap_both"] <= 1
+    assert (
+        summary["tp_overlap_only_knn"]
+        + summary["tp_overlap_both"]
+        + summary["tp_overlap_only_mmseqs"]
+        <= 2.0
+    )
     assert (tmp_path / "figs" / "pfam_auc1.jpg").exists()
     assert (tmp_path / "figs" / "tp_cumulative.npz").exists()
     assert (tmp_path / "figs" / "combining-mmseqs-and-knn.npz").exists()
+    pr = np.load(tmp_path / "figs" / "precision_recall.npz")
+    for label in ("mmseqs", "knn", "knn_aligned"):
+        for lim in ("first_10", "300"):
+            assert f"{label}_{lim}_precision" in pr
+            assert f"{label}_{lim}_recall" in pr
+    # merged-by-E combined ranking: AUC1 consistency between the dedicated
+    # merged_auc1 and the row-based evaluation of merge_ranked_rows is
+    # covered in test_analysis; here assert it lands in a sane band
+    assert 0 <= summary["combined_auc1"] <= 1
 
 
 def test_pfam_proteins_run_with_merge_and_figures(tmp_path):
