@@ -152,11 +152,29 @@ def _result_data_files(result_db: Path) -> List[Path]:
 class ConcatBuffer:
     """Multiple data files addressed as one contiguous byte range — the
     reading side of MMseqs2's split data files
-    (reference: mmseqs/_read_results_db.py MultiMMap)."""
+    (reference: mmseqs/_read_results_db.py MultiMMap).
+
+    mmap-backed, like the reference's MultiMMap: UniRef90-scale result DBs
+    are tens of GB and must never be materialised in RAM — the kernel pages
+    in only the slices actually read."""
 
     def __init__(self, files: Sequence[Path]):
-        self.blobs = [Path(f).read_bytes() for f in files]
-        self.sizes = [len(b) for b in self.blobs]
+        import mmap
+
+        self.blobs = []
+        self.sizes = []
+        self._files = []
+        for f in files:
+            size = Path(f).stat().st_size
+            if size == 0:  # mmap refuses empty files
+                self.blobs.append(b"")
+            else:
+                fp = open(f, "rb")
+                self._files.append(fp)
+                self.blobs.append(
+                    mmap.mmap(fp.fileno(), 0, access=mmap.ACCESS_READ)
+                )
+            self.sizes.append(size)
 
     def __getitem__(self, item: slice) -> bytes:
         start, stop = item.start, item.stop
@@ -167,6 +185,20 @@ class ConcatBuffer:
             start -= size
             stop -= size
         raise IndexError(item)
+
+    def close(self) -> None:
+        for blob in self.blobs:
+            if blob:
+                blob.close()
+        for fp in self._files:
+            fp.close()
+        self.blobs, self._files = [], []
+
+    def __enter__(self) -> "ConcatBuffer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def _read_index(result_db: Path) -> np.ndarray:
@@ -195,9 +227,13 @@ def read_result_records(
         pass  # fall back to the pure-Python parser
 
     index = _read_index(result_db)
-    buffer = ConcatBuffer(_result_data_files(result_db))
     targets: List[np.ndarray] = []
     evalues: List[np.ndarray] = []
+    with ConcatBuffer(_result_data_files(result_db)) as buffer:
+        return _parse_records(index, buffer, e_value_column, targets, evalues)
+
+
+def _parse_records(index, buffer, e_value_column, targets, evalues):
     for qid, offset, size in index:
         record = buffer[offset : offset + size - 1]  # -1 drops the NUL
         t_list, e_list = [], []

@@ -9,6 +9,11 @@
 //
 // Build: make (g++ -O3 -shared -fPIC).
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -41,6 +46,65 @@ bool read_file(const std::string& path, std::string* out) {
     return (long)got == size;
 }
 
+// A read-only mmap of one data file. UniRef90-scale result DBs are tens of
+// GB (the reference mmap'd them for the same reason,
+// reference: seqvec_search/mmseqs/_read_results_db.py:17-56) — mapping lets
+// the kernel page in only the bytes a record actually touches instead of
+// heap-copying whole files.
+struct MappedFile {
+    const char* base = nullptr;
+    int64_t size = 0;
+    bool ok = false;
+
+    explicit MappedFile(const std::string& path) {
+        int fd = ::open(path.c_str(), O_RDONLY);
+        if (fd < 0) return;
+        struct stat st;
+        if (::fstat(fd, &st) != 0) { ::close(fd); return; }
+        size = (int64_t)st.st_size;
+        if (size == 0) { ::close(fd); ok = true; return; }  // empty split
+        void* p = ::mmap(nullptr, (size_t)size, PROT_READ, MAP_PRIVATE, fd, 0);
+        ::close(fd);  // the mapping keeps its own reference
+        if (p == MAP_FAILED) return;
+        base = (const char*)p;
+        ok = true;
+    }
+    MappedFile(const MappedFile&) = delete;
+    MappedFile& operator=(const MappedFile&) = delete;
+    MappedFile(MappedFile&& o) noexcept
+        : base(o.base), size(o.size), ok(o.ok) {
+        o.base = nullptr; o.size = 0;
+    }
+    ~MappedFile() {
+        if (base) ::munmap((void*)base, (size_t)size);
+    }
+};
+
+// Split data files addressed as one contiguous byte range (the C++ twin of
+// ConcatBuffer in interop/mmseqs_format.py). Records never span splits.
+struct MultiMap {
+    std::vector<MappedFile> maps;
+    std::vector<int64_t> starts;  // cumulative global offset of each file
+    bool ok = true;
+
+    void add(const std::string& path) {
+        int64_t start = starts.empty()
+            ? 0 : starts.back() + maps.back().size;
+        maps.emplace_back(path);
+        starts.push_back(start);
+        if (!maps.back().ok) ok = false;
+    }
+    // global [offset, offset+size) → pointer inside one file, or nullptr
+    const char* at(int64_t offset, int64_t size) const {
+        for (size_t i = 0; i < maps.size(); ++i) {
+            int64_t rel = offset - starts[i];
+            if (rel >= 0 && rel + size <= maps[i].size)
+                return maps[i].base + rel;
+        }
+        return nullptr;
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -52,19 +116,18 @@ void* rr_open(const char* index_path, const char* data_paths,
     std::string index_buf;
     if (!read_file(index_path, &index_buf)) return nullptr;
 
-    // concatenate data files (records are addressed by global offset)
-    std::string data;
+    // mmap the data files; records are addressed by global offset
+    MultiMap data;
     {
         const char* p = data_paths;
         while (*p) {
             const char* end = std::strchr(p, '\n');
             size_t len = end ? (size_t)(end - p) : std::strlen(p);
-            std::string chunk;
-            if (!read_file(std::string(p, len), &chunk)) return nullptr;
-            data += chunk;
+            data.add(std::string(p, len));
             p += len + (end ? 1 : 0);
             if (!end) break;
         }
+        if (!data.ok) return nullptr;
     }
 
     auto handle = new ParseHandle();
@@ -83,7 +146,8 @@ void* rr_open(const char* index_path, const char* data_paths,
 
         Record rec;
         rec.query_id = qid;
-        const char* r = data.data() + offset;
+        const char* r = data.at(offset, size);
+        if (!r) { delete handle; return nullptr; }
         const char* r_end = r + size - 1;  // -1 drops the trailing NUL
         while (r < r_end) {
             char* rn = nullptr;
