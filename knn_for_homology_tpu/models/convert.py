@@ -841,6 +841,108 @@ def convert_elmo_from_hdf5(weights_file: Path, options_file: Path):
     return config, params
 
 
+# --- UniRep (churchlab babbler-1900 npy dump / jax-unirep npz) -------------------
+
+
+def convert_unirep_from_npy(path: Path):
+    """churchlab/UniRep weight dump → models/unirep.py pytree (the reference
+    embeds UniRep through bio_embeddings → jax-unirep,
+    reference: cath/embed.py:34-46).
+
+    Accepted layouts:
+      * a directory of per-tensor ``.npy`` files with the original TF
+        variable names (``embed_matrix:0.npy``, ``rnn_mlstm_mlstm_wx:0.npy``,
+        …) — the published 1900_weights download; ``:0``-less names load too
+      * a single ``.npz`` with the same tensor names (any of the prefixes
+        stripped)
+
+    Conventions handled on the way in:
+      * weight normalisation: the TF graph stores direction tensors plus
+        gain vectors (gx/gh/gmx/gmh) and applies
+        ``W_eff[:, j] = g[j] · W[:, j] / ‖W[:, j]‖₂`` at runtime
+        (jax-unirep does the same in its mLSTM step). The gains are fused
+        into the weights here, which is mathematically identical and keeps
+        the device step gain-free. Dumps without gain tensors are assumed
+        pre-fused and load verbatim.
+      * gate order: [i, f, o, u] with ``c' = σ(f)c + σ(i)tanh(u)``,
+        ``h' = σ(o)tanh(c')`` — identical in the TF graph, jax-unirep, and
+        models/unirep.py, so gate columns load unpermuted.
+    """
+    import jax.numpy as jnp
+
+    from .unirep import UniRepConfig
+
+    path = Path(path)
+    if path.is_dir():
+        tensors = {
+            f.name[: -len(".npy")]: np.load(f).astype(np.float32)
+            for f in path.glob("*.npy")
+        }
+    else:
+        with np.load(path) as npz:
+            tensors = {k: npz[k].astype(np.float32) for k in npz.files}
+
+    def get(*names):
+        for name in names:
+            for key in (name, name + ":0", "rnn_mlstm_mlstm_" + name,
+                        "rnn_mlstm_mlstm_" + name + ":0"):
+                if key in tensors:
+                    return tensors[key]
+        return None
+
+    def need(*names):
+        t = get(*names)
+        if t is None:
+            raise KeyError(
+                f"UniRep checkpoint {path} is missing {names[0]} "
+                f"(has: {sorted(tensors)})"
+            )
+        return t
+
+    def weight_norm(w, gain):
+        if gain is None:
+            return w
+        norm = np.linalg.norm(w, axis=0, keepdims=True)
+        return w / np.maximum(norm, 1e-12) * gain[None, :]
+
+    embedding = need("embed_matrix", "embedding")
+    wx = weight_norm(need("wx"), get("gx"))
+    wh = weight_norm(need("wh"), get("gh"))
+    wmx = weight_norm(need("wmx"), get("gmx"))
+    wmh = weight_norm(need("wmh"), get("gmh"))
+    b = need("b")
+    config = UniRepConfig(
+        vocab_size=embedding.shape[0],
+        embed_dim=embedding.shape[1],
+        hidden_dim=wmh.shape[1],
+    )
+    params = {
+        "embedding": jnp.asarray(embedding),
+        "wmx": jnp.asarray(wmx),
+        "wmh": jnp.asarray(wmh),
+        "wx": jnp.asarray(wx),
+        "wh": jnp.asarray(wh),
+        "b": jnp.asarray(b),
+    }
+    return config, params
+
+
+def load_unirep_checkpoint(path: Path):
+    """Flat-npz (save_params) or churchlab npy-dir / raw-npz UniRep weights."""
+    from .unirep import UniRepConfig
+
+    path = Path(path)
+    if path.is_dir():
+        return convert_unirep_from_npy(path)
+    with np.load(path, allow_pickle=False) as npz:
+        ours = "wmx" in npz.files  # save_params layout vs raw TF names
+    if not ours:
+        return convert_unirep_from_npy(path)
+    params, meta = load_params(path)
+    cfg = meta.get("config", {})
+    return (UniRepConfig(**cfg) if cfg else UniRepConfig()), params
+
+
 def load_elmo_checkpoint(path: Path):
     path = Path(path)
     if path.is_dir():

@@ -316,14 +316,11 @@ class UniRepEmbedder(EmbedderBase):
             self.config = config or unirep.UNIREP
             self.params = params
         elif checkpoint is not None:
-            from .convert import load_params
+            # flat npz (save_params) or a churchlab npy-dir / raw TF npz,
+            # converted in place (weight-norm gains fused)
+            from .convert import load_unirep_checkpoint
 
-            loaded, meta = load_params(checkpoint)
-            cfg = meta.get("config", {})
-            self.config = (
-                unirep.UniRepConfig(**cfg) if cfg else unirep.UNIREP
-            )
-            self.params = loaded
+            self.config, self.params = load_unirep_checkpoint(checkpoint)
         else:
             raise ValueError(
                 "UniRep: no checkpoint installed — pass `checkpoint=` or params"

@@ -396,3 +396,160 @@ def test_albert_embedder_through_registry(tmp_path):
     for seq, e in zip(seqs, outs):
         assert e.shape == (len(seq), 32)
         assert np.isfinite(e).all()
+
+
+def test_elmo_conversion_matches_torch_bilm(tmp_path):
+    """ELMo numeric oracle (VERDICT r1 #4): a hand-rolled torch bi-LM —
+    Conv1d CharCNN + torch LSTMs with projection — whose weights are
+    exported into the bilm-tf hdf5 layout (gate order [i,g,f,o], forget
+    bias left out of B, [in, 4H] kernels); convert_elmo_from_hdf5 +
+    models/elmo.py must reproduce all three layers."""
+    h5py = pytest.importorskip("h5py")
+    from knn_for_homology_tpu.models import elmo
+    from knn_for_homology_tpu.models.convert import convert_elmo_from_hdf5
+
+    torch.manual_seed(11)
+    E, P, H, NH = 4, 16, 32, 1  # char embed, proj, lstm hidden, highways
+    FILTERS = [(1, 8), (2, 8), (3, 16)]
+    TOTAL = sum(n for _, n in FILTERS)
+    N_LAYERS = 2
+
+    char_embed = torch.randn(262, E) * 0.5
+    convs = [torch.nn.Conv1d(E, n, w) for w, n in FILTERS]
+    highways = [
+        {
+            "w_carry": torch.randn(TOTAL, TOTAL) * 0.1,
+            "b_carry": torch.randn(TOTAL) * 0.1,
+            "w_tr": torch.randn(TOTAL, TOTAL) * 0.1,
+            "b_tr": torch.randn(TOTAL) * 0.1,
+        }
+        for _ in range(NH)
+    ]
+    w_proj = torch.randn(TOTAL, P) * 0.1
+    b_proj = torch.randn(P) * 0.1
+    # one torch LSTM per (direction, layer), with projection
+    lstms = {
+        (d, l): torch.nn.LSTM(P, H, proj_size=P, batch_first=True)
+        for d in ("fwd", "bwd") for l in range(N_LAYERS)
+    }
+    for m in lstms.values():
+        for p in m.parameters():
+            p.data *= 0.5
+
+    # ---- export into the bilm-tf hdf5 layout --------------------------
+    def to_bilm_gates(t, axis):
+        # torch gate order [i, f, g, o] -> bilm [i, g, f, o]
+        i, f, g, o = np.split(t, 4, axis=axis)
+        return np.concatenate([i, g, f, o], axis=axis)
+
+    options = {
+        "char_cnn": {
+            "embedding": {"dim": E},
+            "filters": [list(f) for f in FILTERS],
+            "n_highway": NH,
+        },
+        "lstm": {
+            "projection_dim": P,
+            "dim": H,
+            "n_layers": N_LAYERS,
+            "cell_clip": 50.0,  # large: torch has no clipping
+            "proj_clip": 50.0,
+        },
+    }
+    (tmp_path / "options.json").write_text(json.dumps(options))
+    with h5py.File(tmp_path / "weights.hdf5", "w") as fp:
+        fp["char_embed"] = char_embed.numpy()
+        for i, conv in enumerate(convs):
+            # torch Conv1d weight [n_out, E, width] -> bilm [1, width, E, n_out]
+            fp[f"CNN/W_cnn_{i}"] = (
+                conv.weight.detach().numpy().transpose(2, 1, 0)[None]
+            )
+            fp[f"CNN/b_cnn_{i}"] = conv.bias.detach().numpy()
+        for i, hw in enumerate(highways):
+            fp[f"CNN_high_{i}/W_carry"] = hw["w_carry"].numpy()
+            fp[f"CNN_high_{i}/b_carry"] = hw["b_carry"].numpy()
+            fp[f"CNN_high_{i}/W_transform"] = hw["w_tr"].numpy()
+            fp[f"CNN_high_{i}/b_transform"] = hw["b_tr"].numpy()
+        fp["CNN_proj/W_proj"] = w_proj.numpy()
+        fp["CNN_proj/b_proj"] = b_proj.numpy()
+        for d, name in [("fwd", "RNN_0"), ("bwd", "RNN_1")]:
+            for l in range(N_LAYERS):
+                m = lstms[(d, l)]
+                w_ih = m.weight_ih_l0.detach().numpy()  # [4H, P]
+                w_hh = m.weight_hh_l0.detach().numpy()  # [4H, P] (proj)
+                b = (
+                    m.bias_ih_l0.detach().numpy()
+                    + m.bias_hh_l0.detach().numpy()
+                )
+                b_bilm = to_bilm_gates(b, 0).copy()
+                # bilm's LSTMCell adds forget_bias=1.0 at runtime; the dumped
+                # B must therefore be 1.0 SHORT of torch's effective bias
+                # (f sits at [2H:3H] in bilm's [i, g, f, o] layout)
+                b_bilm[2 * H : 3 * H] -= 1.0
+                base = f"{name}/RNN/MultiRNNCell/Cell{l}/LSTMCell"
+                fp[f"{base}/W_0"] = np.concatenate(
+                    [to_bilm_gates(w_ih.T, 1), to_bilm_gates(w_hh.T, 1)], 0
+                )
+                fp[f"{base}/B"] = b_bilm
+                fp[f"{base}/W_P_0"] = (
+                    m.weight_hr_l0.detach().numpy().T  # [P, H] -> [H, P]
+                )
+
+    # ---- torch oracle ---------------------------------------------------
+    def char_rep(word_char_ids):
+        # word_char_ids: list of raw bilm char ids for one "word"
+        ids = torch.full((elmo.MAX_WORD_CHARS,), 260, dtype=torch.long)
+        for j, c in enumerate(word_char_ids):
+            ids[j] = c
+        x = char_embed[ids].T[None]  # [1, E, W]
+        feats = [
+            torch.max(torch.tanh(conv(x)), dim=2).values for conv in convs
+        ]
+        h = torch.cat(feats, dim=1)  # [1, TOTAL]
+        for hw in highways:
+            g = torch.sigmoid(h @ hw["w_carry"] + hw["b_carry"])
+            h = g * torch.relu(h @ hw["w_tr"] + hw["b_tr"]) + (1 - g) * h
+        return (h @ w_proj + b_proj)[0]
+
+    def oracle(seq):
+        reps = [char_rep([258, ord(a), 259]) for a in seq]
+        bos, eos = char_rep([258, 256, 259]), char_rep([258, 257, 259])
+        token = torch.stack(reps)  # [L, P]
+        ext = torch.stack([bos] + reps + [eos])  # [L+2, P]
+        outs = {"fwd": [], "bwd": []}
+        for d in ("fwd", "bwd"):
+            x = ext if d == "fwd" else torch.flip(ext, [0])
+            for l in range(N_LAYERS):
+                y, _ = lstms[(d, l)](x[None])
+                y = y[0]
+                if l > 0:
+                    y = y + x
+                outs[d].append(y)
+                x = y
+        layers = [torch.cat([token, token], dim=1)]
+        for l in range(N_LAYERS):
+            fwd = outs["fwd"][l][1 : len(seq) + 1]
+            bwd = torch.flip(outs["bwd"][l], [0])[1 : len(seq) + 1]
+            layers.append(torch.cat([fwd, bwd], dim=1))
+        return torch.stack(layers).detach().numpy()  # [3, L, 2P]
+
+    # ---- ours: converted checkpoint, batched with padding ---------------
+    config, params = convert_elmo_from_hdf5(
+        tmp_path / "weights.hdf5", tmp_path / "options.json"
+    )
+    assert config.lstm_dim == H and config.proj_dim == P
+    seqs = ["MKVLITGAG", "ACDEF"]
+    max_len = max(len(s) for s in seqs)
+    ids = np.zeros((len(seqs), max_len), dtype=np.int32)
+    mask = np.zeros((len(seqs), max_len), dtype=bool)
+    for r, s in enumerate(seqs):
+        ids[r, : len(s)] = elmo.tokenize(s)
+        mask[r, : len(s)] = True
+    ours = np.asarray(
+        elmo.encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )  # [3, B, L, 2P]
+    for r, s in enumerate(seqs):
+        want = oracle(s)
+        np.testing.assert_allclose(
+            ours[:, r, : len(s)], want, atol=ATOL, rtol=1e-3
+        )

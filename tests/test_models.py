@@ -482,3 +482,103 @@ def test_t5_checkpoint_custom_vocab_roundtrip(tmp_path):
     assert emb.vocab == custom_vocab
     # tokenisation actually uses it: 'W' maps to 3 under the custom table
     assert t5.tokenize("W", emb.vocab)[0] == 3
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _unirep_tf_oracle(tensors, token_ids):
+    """Independent numpy mLSTM with bilm-style RUNTIME weight normalisation,
+    exactly as the churchlab TF graph / jax-unirep evaluate it (the
+    conversion instead fuses the gains into the weights up front)."""
+
+    def wn(w, g):
+        return w / np.linalg.norm(w, axis=0, keepdims=True) * g
+
+    wx = wn(tensors["rnn_mlstm_mlstm_wx:0"], tensors["rnn_mlstm_mlstm_gx:0"])
+    wh = wn(tensors["rnn_mlstm_mlstm_wh:0"], tensors["rnn_mlstm_mlstm_gh:0"])
+    wmx = wn(tensors["rnn_mlstm_mlstm_wmx:0"], tensors["rnn_mlstm_mlstm_gmx:0"])
+    wmh = wn(tensors["rnn_mlstm_mlstm_wmh:0"], tensors["rnn_mlstm_mlstm_gmh:0"])
+    b = tensors["rnn_mlstm_mlstm_b:0"]
+    emb = tensors["embed_matrix:0"]
+    hidden = wmh.shape[1]
+    h = np.zeros(hidden, dtype=np.float64)
+    c = np.zeros(hidden, dtype=np.float64)
+    out = []
+    for t in token_ids:
+        x = emb[t].astype(np.float64)
+        m = (x @ wmx) * (h @ wmh)
+        z = x @ wx + m @ wh + b
+        i, f, o, u = np.split(z, 4)
+        c = _sigmoid(f) * c + _sigmoid(i) * np.tanh(u)
+        h = _sigmoid(o) * np.tanh(c)
+        out.append(h.copy())
+    return np.asarray(out)
+
+
+def test_unirep_conversion_matches_tf_oracle(tmp_path):
+    """convert_unirep_from_npy (gain fusion, gate order, layout) against an
+    independent numpy oracle that applies weight norm at runtime the way the
+    churchlab TF graph does (VERDICT r1 #4)."""
+    from knn_for_homology_tpu.models import unirep
+    from knn_for_homology_tpu.models.convert import convert_unirep_from_npy
+
+    rng = np.random.RandomState(7)
+    e, h = 6, 12
+    tensors = {
+        "embed_matrix:0": rng.randn(26, e).astype(np.float32),
+        "rnn_mlstm_mlstm_wx:0": rng.randn(e, 4 * h).astype(np.float32),
+        "rnn_mlstm_mlstm_wh:0": rng.randn(h, 4 * h).astype(np.float32),
+        "rnn_mlstm_mlstm_wmx:0": rng.randn(e, h).astype(np.float32),
+        "rnn_mlstm_mlstm_wmh:0": rng.randn(h, h).astype(np.float32),
+        "rnn_mlstm_mlstm_b:0": rng.randn(4 * h).astype(np.float32),
+        "rnn_mlstm_mlstm_gx:0": rng.rand(4 * h).astype(np.float32) + 0.5,
+        "rnn_mlstm_mlstm_gh:0": rng.rand(4 * h).astype(np.float32) + 0.5,
+        "rnn_mlstm_mlstm_gmx:0": rng.rand(h).astype(np.float32) + 0.5,
+        "rnn_mlstm_mlstm_gmh:0": rng.rand(h).astype(np.float32) + 0.5,
+    }
+    ckpt = tmp_path / "1900_weights"
+    ckpt.mkdir()
+    for name, arr in tensors.items():
+        np.save(ckpt / f"{name}.npy", arr)
+
+    config, params = convert_unirep_from_npy(ckpt)
+    assert config.hidden_dim == h and config.embed_dim == e
+
+    seq = "MKVLITGAGQRST"
+    ids = unirep.tokenize(seq)[None, :]  # [1, L] incl. start token
+    mask = np.ones_like(ids, dtype=bool)
+    ours = np.asarray(
+        unirep.encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )[0]
+    want = _unirep_tf_oracle(tensors, ids[0])
+    np.testing.assert_allclose(ours, want, atol=2e-5, rtol=2e-5)
+
+
+def test_unirep_embedder_accepts_npy_dir(tmp_path):
+    """UniRepEmbedder(checkpoint=<churchlab dir>) converts in place; the
+    per-residue output drops the start-token step."""
+    from knn_for_homology_tpu.models.registry import UniRepEmbedder
+
+    rng = np.random.RandomState(3)
+    e, h = 4, 8
+    ckpt = tmp_path / "w"
+    ckpt.mkdir()
+    np.save(ckpt / "embed_matrix:0.npy", rng.randn(26, e).astype(np.float32))
+    for name, shape in [
+        ("wx", (e, 4 * h)), ("wh", (h, 4 * h)),
+        ("wmx", (e, h)), ("wmh", (h, h)),
+    ]:
+        np.save(
+            ckpt / f"rnn_mlstm_mlstm_{name}:0.npy",
+            rng.randn(*shape).astype(np.float32),
+        )
+    np.save(
+        ckpt / "rnn_mlstm_mlstm_b:0.npy", rng.randn(4 * h).astype(np.float32)
+    )  # no gain tensors: pre-fused dump loads verbatim
+    emb = UniRepEmbedder(checkpoint=ckpt)
+    assert emb.dim == h
+    out = list(emb.embed_per_residue(["MKVL"]))[0]
+    assert out.shape == (4, h)
+    assert np.isfinite(out).all()
