@@ -371,6 +371,31 @@ def score_calibration(
     }
 
 
+def per_query_precision_recall(
+    scores: np.ndarray,  # [Q, K] higher = better
+    correct: np.ndarray,  # [Q, K] bool
+    totals: np.ndarray,  # [Q] relevant count per query
+    smoothness: int = 100,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mean-per-query precision/recall over score-quantile thresholds
+    (reference: pfam/proteins.py:605-652 — precision per query is 1.0 when
+    nothing is selected; recall = tp / that query's relevant total).
+    Returns (recall, precision, thresholds)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    correct = np.asarray(correct, dtype=np.float64)
+    totals = np.maximum(np.asarray(totals, dtype=np.float64), 1.0)
+    thresholds = np.quantile(scores, np.linspace(0, 1, smoothness + 1))
+    precision, recall = [], []
+    for thr in thresholds:
+        sel = scores > thr  # [Q, K]
+        n_sel = sel.sum(axis=1)
+        tp = (correct * sel).sum(axis=1)
+        p = np.where(n_sel > 0, tp / np.maximum(n_sel, 1), 1.0)
+        precision.append(p.mean())
+        recall.append((tp / totals).mean())
+    return np.asarray(recall), np.asarray(precision), thresholds
+
+
 def hit_set_overlap(
     hits_a: Sequence[np.ndarray], hits_b: Sequence[np.ndarray]
 ) -> Dict[str, int]:

@@ -173,13 +173,19 @@ def evaluate_and_report(
     metric: str = "cosine",
     bootstrap: bool = False,
     mmseqs_results: Optional[dict] = None,
+    render: bool = True,
 ) -> dict:
     """The CATH paper-layer driver: load hits/scores npz, produce the
     accuracy leaderboard (accuracies.md-style), per-level table, confusion
     matrix + merge sweep when MMseqs2 results are supplied, length analysis,
-    superfamily scatter — each figure's raw data dumped as npz
-    (reference: cath/cath.py end-to-end; outputs mirror
-    more_sensitive/cath-figures/)."""
+    superfamily scatter — each figure rendered svg+jpg+eps with its raw data
+    npz beside it (reference: cath/cath.py end-to-end; outputs mirror
+    more_sensitive/cath-figures/: superfamily-vs-accuracy,
+    superfamily-vs-delta-accuracy, combining-mmseqs-and-knn-raw/-normalized,
+    coverage-vs-accuracy, length-vs-accuracy{,-binned,-binned2},
+    e_value_vs_cosine_scatter). `render=False` keeps the npz-only fast
+    path for metric-only runs."""
+    from ..eval import render as R
     from ..eval.figures import save_raw
 
     cath_data = Path(cath_data)
@@ -222,16 +228,28 @@ def evaluate_and_report(
         {name: c[:, 0, 0] for name, c in correct_per_method.items()},
     )
 
-    # superfamily-size vs accuracy scatter (reference: cath/cath.py:296-326)
+    # superfamily-size vs accuracy scatter (reference: cath/cath.py:296-326):
+    # per-family accuracy points for the best method (+ MMseqs2 below)
     fams = evaluation.mapping_array[:, 0]
     top1 = best_correct[:, 0, 0]
     sizes = np.asarray([evaluation.family_sizes[0][f] for f in fams])
     save_raw(
-        figures_dir, "superfamily-vs-accuracy",
+        figures_dir, "superfamily-vs-accuracy-data",
         family_size=sizes, correct=top1.astype(np.float64),
     )
 
+    def family_points(correct_top1: np.ndarray):
+        """Per-superfamily (size, accuracy) points."""
+        fam_correct: Dict = {}
+        for fam, c in zip(fams, correct_top1):
+            fam_correct[fam] = fam_correct.get(fam, 0) + int(c)
+        keys = sorted(fam_correct)
+        f_sizes = np.asarray([evaluation.family_sizes[0][f] for f in keys])
+        f_acc = np.asarray([fam_correct[f] for f in keys]) / f_sizes
+        return f_sizes, f_acc, keys
+
     # length analysis when the fasta is present
+    lengths = None
     fasta = cath_data / "cath-20.fasta"
     if fasta.exists():
         from ..data.fasta import read_fasta
@@ -243,35 +261,114 @@ def evaluate_and_report(
         la = analysis.length_analysis(
             lengths[evaluation.is_possible], top1[evaluation.is_possible]
         )
-        save_raw(figures_dir, "length-vs-accuracy", **la)
+        save_raw(figures_dir, "length-vs-accuracy-data", **la)
         report["length_analysis"] = True
 
-    if mmseqs_results is not None:
-        mm_correct = mmseqs_results["is_correct_top1"]
-        e_values = mmseqs_results["e_values_top1"]
-        report["confusion"] = analysis.confusion_counts(
-            top1[evaluation.is_possible],
-            mm_correct[evaluation.is_possible],
-        ).tolist()
-        cutoffs, simple, combined = analysis.cath_evalue_sweep(
-            e_values, mm_correct, top1, evaluation.is_possible
+    if mmseqs_results is None:
+        if render:
+            s, a, _ = family_points(top1)
+            R.figure_superfamily_vs_accuracy(
+                figures_dir, {best_name: (s, a)}
+            )
+            if lengths is not None:
+                poss = evaluation.is_possible
+                R.figure_length_vs_accuracy(
+                    figures_dir, lengths[poss],
+                    {n: c[poss, 0, 0] for n, c in correct_per_method.items()},
+                )
+                R.figure_length_binned(
+                    figures_dir, lengths[poss],
+                    {n: c[poss, 0, 0] for n, c in correct_per_method.items()},
+                )
+                R.figure_length_binned_even(
+                    figures_dir, lengths[poss],
+                    {n: c[poss, 0, 0] for n, c in correct_per_method.items()},
+                )
+        return report
+
+    mm_correct = mmseqs_results["is_correct_top1"]
+    e_values = mmseqs_results["e_values_top1"]
+    poss = evaluation.is_possible
+    report["confusion"] = analysis.confusion_counts(
+        top1[poss], mm_correct[poss]
+    ).tolist()
+    cutoffs, simple, combined = analysis.cath_evalue_sweep(
+        e_values, mm_correct, top1, poss
+    )
+    save_raw(
+        figures_dir, "combining-mmseqs-and-knn-raw-data",
+        cutoffs=cutoffs, simple=simple, combined=combined,
+    )
+    cutoffs_n, simple_n, combined_n = analysis.cath_evalue_sweep(
+        e_values, mm_correct, top1, poss,
+        normalization=evaluation.normalization,
+        families_count=evaluation.families_count,
+    )
+    # annotation order: best first — descending similarity for cosine,
+    # ascending squared distance for euclidean
+    sort_key = best_scores if metric == "euclidean" else -best_scores
+    x, y = analysis.coverage_accuracy(top1[poss], sort_key[poss])
+    save_raw(figures_dir, "coverage-vs-accuracy-data", x=x, y=y)
+    if metric == "cosine":  # the reference's correlation is cosine↔E
+        report["correlation"] = analysis.score_evalue_correlation(
+            best_scores[poss], e_values[poss]
         )
-        save_raw(
-            figures_dir, "combining-mmseqs-and-knn-raw-data",
-            cutoffs=cutoffs, simple=simple, combined=combined,
+
+    if render:
+        # the 9 CATH endfig families (reference: cath/cath.py:326-947)
+        s_best, a_best, keys = family_points(top1)
+        s_mm, a_mm, _ = family_points(mm_correct)
+        R.figure_superfamily_vs_accuracy(
+            figures_dir, {best_name: (s_best, a_best), "MMseqs2": (s_mm, a_mm)}
         )
-        # annotation order: best first — descending similarity for cosine,
-        # ascending squared distance for euclidean
-        sort_key = best_scores if metric == "euclidean" else -best_scores
-        x, y = analysis.coverage_accuracy(
-            top1[evaluation.is_possible],
-            sort_key[evaluation.is_possible],
+        R.figure_superfamily_vs_delta(
+            figures_dir, s_best, a_best - a_mm, best_name
         )
-        save_raw(figures_dir, "coverage-vs-accuracy-data", x=x, y=y)
-        if metric == "cosine":  # the reference's correlation is cosine↔E
-            report["correlation"] = analysis.score_evalue_correlation(
-                best_scores[evaluation.is_possible],
-                e_values[evaluation.is_possible],
+        R.figure_accuracy_combined(
+            figures_dir, cutoffs, simple, combined,
+            knn_level=float(top1[poss].mean()),
+            mmseqs_level=float(mm_correct[poss].mean()),
+            name="combining-mmseqs-and-knn-raw",
+            y_label="QrawTop1", best_label=best_name,
+        )
+        R.figure_accuracy_combined(
+            figures_dir, cutoffs_n, simple_n, combined_n,
+            knn_level=float(
+                (top1 * evaluation.normalization).sum()
+                / evaluation.families_count
+            ),
+            mmseqs_level=float(
+                (mm_correct * evaluation.normalization).sum()
+                / evaluation.families_count
+            ),
+            name="combining-mmseqs-and-knn-normalized",
+            y_label="QnormTop1", best_label=best_name,
+        )
+        mm_x, mm_y = analysis.coverage_accuracy(
+            mm_correct[poss], e_values[poss]
+        )
+        R.figure_coverage_vs_accuracy(
+            figures_dir,
+            {best_name: (x, y), "MMseqs2": (mm_x, mm_y)},
+            diagonal=True,
+        )
+        if lengths is not None:
+            length_methods = {
+                n: c[poss, 0, 0] for n, c in correct_per_method.items()
+            }
+            length_methods["MMseqs2"] = mm_correct[poss]
+            R.figure_length_vs_accuracy(
+                figures_dir, lengths[poss], length_methods
+            )
+            R.figure_length_binned(
+                figures_dir, lengths[poss], length_methods
+            )
+            R.figure_length_binned_even(
+                figures_dir, lengths[poss], length_methods
+            )
+        if metric == "cosine":
+            R.figure_evalue_vs_score_scatter(
+                figures_dir, best_scores[poss], e_values[poss]
             )
     return report
 

@@ -132,14 +132,53 @@ def run(
                 )
                 summary["combined_best"] = float(combined.max())
                 if figures_dir is not None:
-                    from ..eval.figures import save_raw
+                    from ..eval import render as R
 
-                    save_raw(
+                    R.figure_combining_cutoff(
+                        figures_dir, e_sorted, simple, combined,
+                        mmseqs_level=float(mm_correct[:, 0].mean()),
+                        knn_level=float(knn_correct[:, 0].mean()),
+                    )
+                    # coverage-vs-accuracy: accuracy among annotated
+                    # queries, annotated best-first (pfam/pfam.py:210-241)
+                    def _cov(correct, key):
+                        order = np.argsort(key, kind="stable")
+                        flags = np.asarray(correct, np.float64)[order]
+                        return (
+                            np.linspace(0, 1, len(flags)),
+                            np.cumsum(flags) / np.arange(1, len(flags) + 1),
+                        )
+
+                    e_cut = 1.0
+                    top_e = ev_arr[:, 0]
+                    comb_correct = np.where(
+                        top_e < e_cut, mm_correct[:, 0], knn_correct[:, 0]
+                    )
+                    comb_key = np.where(
+                        top_e < e_cut, top_e, -knn_scores[:, 0]
+                    )
+                    R.figure_coverage_vs_accuracy(
                         figures_dir,
-                        "combining-mmseqs-and-knn",
-                        e_value_sorted=e_sorted,
-                        combined_accuracy=combined,
-                        mmseqs_with_cutoff_accuracy=simple,
+                        {
+                            "MMseqs2": _cov(mm_correct[:, 0], top_e),
+                            "MMseqs2 E<1 + k-nn": _cov(
+                                comb_correct, comb_key
+                            ),
+                            "k-nn": _cov(
+                                knn_correct[:, 0], knn_scores[:, 0]
+                            ),
+                        },
+                        ylabel="Accuracy of annotated queries",
+                    )
+                    # rolling + binned accuracy over top-hit E-value
+                    # (pfam/pfam.py:248-313)
+                    by_e = {
+                        "MMseqs2": mm_correct[:, 0],
+                        "k-nn": knn_correct[:, 0],
+                    }
+                    R.figure_accuracy_by_evalue(figures_dir, top_e, by_e)
+                    R.figure_accuracy_by_evalue_binned(
+                        figures_dir, top_e, by_e
                     )
 
                 # TP-set overlap (pfam/pfam.py:349-370): which correct hits
@@ -201,11 +240,41 @@ def run(
                         pr_raw[f"{label}_{limit_name}_precision"] = precision
                         pr_raw[f"{label}_{limit_name}_recall"] = recall
                 if figures_dir is not None:
+                    from ..eval import render as R
                     from ..eval.figures import save_raw
 
                     save_raw(figures_dir, "precision_recall", **pr_raw)
+                    # rendered PR curves, one per rank limit
+                    # (pfam/pfam.py:561-598 endfig precision_recall_*)
+                    label_map = {
+                        "mmseqs": "mmseqs",
+                        "knn": "k-nn",
+                        "knn_aligned": "k-nn + alignment",
+                    }
+                    for limit_name in ("first_10", "300"):
+                        R.figure_precision_recall(
+                            figures_dir,
+                            {
+                                nice: (
+                                    pr_raw[f"{key}_{limit_name}_recall"],
+                                    pr_raw[f"{key}_{limit_name}_precision"],
+                                )
+                                for key, nice in label_map.items()
+                            },
+                            name=f"precision_recall_{limit_name}",
+                        )
+                    # AUC1 reverse-cumulative histogram (pfam/pfam.py:713)
+                    R.figure_auc1_reverse_cdf(
+                        figures_dir,
+                        {
+                            "MMSeqs + k-nn aligned": combined_auc1s,
+                            "MMSeqs2": a,
+                            "k-nn": auc1s,
+                        },
+                    )
 
     if figures_dir is not None:
+        from ..eval import render as R
         from ..eval.figures import figure_tp_cumulative, make_figure
 
         make_figure(
@@ -219,6 +288,11 @@ def run(
             curve_labels.append(label)
             curves.append(tp_cumulative(data, rows))
         figure_tp_cumulative(figures_dir, curve_labels, curves, "tp_cumulative")
+        # the reference's "tp" frame: svg+jpg+eps, rank-limited to 300
+        R.figure_tp(
+            figures_dir, dict(zip(curve_labels, curves)),
+            xlim=(0, min(300, max(len(c) for c in curves))),
+        )
     logger.info("pfam domain summary: %s", summary)
     return summary
 

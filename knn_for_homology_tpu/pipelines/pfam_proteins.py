@@ -95,7 +95,7 @@ def evaluate_protein_hits(
         f"recall@{recall_k}": float(np.mean(recalls)),
     }
     if return_flags:
-        return metrics, np.asarray(flag_rows)
+        return metrics, np.asarray(flag_rows), np.asarray(auc1s)
     return metrics
 
 
@@ -109,6 +109,7 @@ def run(
     mmseqs_results: Optional[Dict] = None,
     knn_e_values: Optional[List[np.ndarray]] = None,
     figures_dir: Optional[Path] = None,
+    sequence_lengths: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Full-protein workload. `mmseqs_results` (optional):
     {"hits": [Q ragged arrays], "e_values": [...]} from the bridge —
@@ -126,22 +127,37 @@ def run(
     )
     logger.info("%d missing self hits", bogus)
     homologous = get_homologous_proteins(protein_to_domain)
-    metrics, correct = evaluate_protein_hits(
+    metrics, correct, auc1s = evaluate_protein_hits(
         hits, full_sequences_ids, homologous, return_flags=True
     )
     metrics["build_seconds"] = result["build_seconds"]
     metrics["search_seconds"] = result["search_seconds"]
+    auc1s_plot = {f"knn ({index_mode})": auc1s}
     if figures_dir is not None:
+        from ..eval import render as R
         from ..eval.figures import save_raw
 
         # cosine-bucket score calibration (reference: proteins.py:688-729)
         calib = analysis.score_calibration(scores, correct)
         save_raw(figures_dir, "cosine_bucketed_accuracy-data", **calib)
-        # accuracy-over-hits curve (mean correctness per rank)
+        R.figure_cosine_bucketed_accuracy(
+            figures_dir,
+            bucket_centers=np.asarray(calib["bucket_center"]),
+            precision=np.asarray(calib["precision"]),
+            sem=np.asarray(calib["sem"]),
+        )
+        # accuracy-over-hits: mean fraction of each query's homologs found
+        # by rank r (reference: proteins.py:502-519 make_accuracy_over_hit)
+        totals = np.maximum(correct.sum(axis=1), 1)[:, None]
+        over_hits = (correct.cumsum(axis=1) / totals).mean(axis=0)
         save_raw(
             figures_dir,
             "accuracy_over_hits-data",
             rank_accuracy=correct.mean(axis=0),
+            fraction_found=over_hits,
+        )
+        R.figure_accuracy_over_hits(
+            figures_dir, {f"knn ({index_mode})": over_hits[:300]}
         )
 
     if mmseqs_results is not None and knn_e_values is None:
@@ -186,6 +202,30 @@ def run(
                     break
             merged_auc1s.append(min(auc1, denom) / denom)
         metrics["merged_auc1"] = float(np.mean(merged_auc1s))
+        auc1s_plot["MMseqs2 + knn merged"] = np.asarray(merged_auc1s)
+
+    if figures_dir is not None:
+        from ..eval import render as R
+
+        # sorted per-query AUC1 CDF (reference: proteins.py:523-538)
+        R.figure_auc1_sorted_cdf(figures_dir, auc1s_plot)
+        # precision-recall over per-query means (proteins.py:605-684)
+        totals = np.asarray(
+            [max(len(homologous.get(q, ())), 1) for q in full_sequences_ids]
+        )
+        recall, precision, _ = analysis.per_query_precision_recall(
+            scores, correct, totals
+        )
+        R.figure_precision_recall(
+            figures_dir,
+            {f"knn ({index_mode}) cosine": (recall, precision)},
+            name="precision_recall_curve",
+            legend_loc="lower left",
+        )
+        if sequence_lengths is not None:
+            lengths = np.asarray(sequence_lengths)
+            R.figure_length_vs_auc1(figures_dir, lengths, auc1s_plot)
+            R.figure_length_bucketed_auc1(figures_dir, lengths, auc1s_plot)
     return metrics
 
 

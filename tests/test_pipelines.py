@@ -241,6 +241,17 @@ def test_cath_evaluate_and_report(tmp_path):
     assert report["accuracies"][0][1] > 0.9
     assert (tmp_path / "figs" / "superfamily-vs-accuracy.npz").exists()
     assert (tmp_path / "figs" / "combining-mmseqs-and-knn-raw-data.npz").exists()
+    # the rendered endfig families (VERDICT r1 #5): svg+jpg+eps + npz each
+    for fam in [
+        "superfamily-vs-accuracy",
+        "superfamily-vs-delta-accuracy",
+        "combining-mmseqs-and-knn-raw",
+        "combining-mmseqs-and-knn-normalized",
+        "coverage-vs-accuracy",
+        "e_value_vs_cosine_scatter",
+    ]:
+        for suffix in (".svg", ".jpg", ".eps", ".npz"):
+            assert (tmp_path / "figs" / f"{fam}{suffix}").exists(), fam + suffix
     assert "confusion" in report and "correlation" in report
     assert report["per_level"]["MethodA"]["H"] > 0.9
 
