@@ -1,0 +1,296 @@
+"""Fused graph-ANN beam expansion: scalar-prefetch adjacency gather + score.
+
+The beam search's hot op is "fetch the expanded nodes' neighbour vectors and
+score them against the query". XLA lowers that row gather to a serial
+dynamic-slice loop: measured 43 ms per [1024 queries × 336 candidates × 1024d]
+iteration on v5e — 16 GB/s against an ~800 GB/s part, and int8 data doesn't
+help (the cost is per gathered row, not per byte). Packing each node's
+neighbour vectors contiguously and gathering slabs through XLA is no better
+(58 ms): XLA gather is loop-lowered regardless of slab size.
+
+This kernel makes the gather a *pipelined DMA*: the expanded node ids are a
+scalar-prefetch operand, so each grid step's BlockSpec index_map picks the
+[DEG_P, d] slab of a pre-packed neighbour-vector matrix straight from HBM
+while the previous step computes — the idiomatic Pallas-TPU embedding-gather
+pattern (pallas guide §PrefetchScalarGridSpec). Per step it also copies the
+node's adjacency ids, so beam search needs NO XLA gathers at all.
+
+Packed layout, built once at index-build time:
+  * packed_vecs [N * DEG_P, d] int8 — node n's padded neighbour vectors at
+    rows [n*DEG_P, (n+1)*DEG_P); symmetric per-tensor quantisation
+    q = round(x * 127 / max|x|) (cosine-normalised rows: quantisation error
+    ~1e-3 of the similarity, same order as the bf16 traversal it replaces;
+    the final top-k is exactly rescored in fp32 anyway).
+  * packed_ids [N, 128] int32 — adjacency padded with -1 to the f32 lane
+    tile (DEG_P ≤ 128).
+
+DEG_P pads the degree to a multiple of 32 (int8 sublane tile).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def pad_degree(degree: int) -> int:
+    """int8 slabs want a sublane multiple of 32."""
+    return max(32, ((degree + 31) // 32) * 32)
+
+
+def quantize_int8(db: jnp.ndarray) -> Tuple[jnp.ndarray, float]:
+    """Symmetric per-tensor int8 quantisation. Returns (q, inv_scale) with
+    dequant x ≈ q * inv_scale."""
+    max_abs = jnp.maximum(jnp.max(jnp.abs(db)), 1e-30)
+    scale = 127.0 / max_abs
+    q = jnp.clip(jnp.round(db * scale), -127, 127).astype(jnp.int8)
+    return q, (1.0 / scale).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("deg_p",), donate_argnums=())
+def pack_neighbours(
+    db: jnp.ndarray,  # [N, d] fp32
+    graph: jnp.ndarray,  # [N, degree] int32
+    deg_p: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build (packed_vecs [N*deg_p, d] int8, packed_ids [N, 128] int32,
+    inv_scale [] f32). Padding ids are -1; their vector rows are zeros."""
+    n, d = db.shape
+    degree = graph.shape[1]
+    q8, inv_scale = quantize_int8(db)
+    pad_ids = jnp.full((n, deg_p - degree), -1, jnp.int32)
+    ids_p = jnp.concatenate([graph.astype(jnp.int32), pad_ids], axis=1)
+    safe = jnp.clip(ids_p, 0, n - 1)
+    vecs = q8[safe.reshape(-1)]  # [N*deg_p, d] int8 (one-time XLA gather)
+    vecs = jnp.where((ids_p.reshape(-1) >= 0)[:, None], vecs, 0)
+    ids_out = jnp.concatenate(
+        [ids_p, jnp.full((n, LANE - deg_p), -1, jnp.int32)], axis=1
+    ) if deg_p < LANE else ids_p[:, :LANE]
+    return vecs, ids_out, inv_scale
+
+
+def _expand_kernel(ids_ref, q_ref, *refs, e, deg_p):
+    """Grid (Q,). Score ALL e expanded nodes' padded neighbour slabs against
+    the query in one step; emit [1, e, 128] (scores f32, ids int32).
+
+    One grid step per (query, expansion) pair was 2 µs of per-step overhead
+    × Q·E steps = 67 ms/iteration — no better than the XLA gather. Unrolling
+    the e slabs as separate in_specs makes Mosaic issue all e DMAs per step
+    and cuts the step count e-fold."""
+    del ids_ref  # consumed by the index_maps
+    slabs = refs[:e]
+    adjs = refs[e : 2 * e]
+    sims_ref, nbr_ref = refs[2 * e], refs[2 * e + 1]
+    slab = jnp.concatenate(
+        [s[...] for s in slabs], axis=0
+    ).astype(jnp.float32)  # [e*deg_p, d]
+    q = q_ref[0].astype(jnp.float32)  # [1, d]
+    s = jax.lax.dot_general(
+        slab, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [e*deg_p, 1]
+    s = s.reshape(1, e, deg_p)
+    if deg_p < LANE:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, LANE - deg_p)),
+                    constant_values=-jnp.inf)
+    sims_ref[...] = s
+    nbr_ref[...] = jnp.concatenate([a[...] for a in adjs], axis=1)
+
+
+def _expand_kernel_dma(
+    ids_ref, q_ref, vec_hbm, adj_hbm, sims_ref, nbr_ref,
+    slab_buf, adj_buf, vsem, asem, *, e, deg_p, q_total,
+):
+    """Grid (Q,). Manual double-buffered DMA variant: start ALL e slab
+    copies for step q+1 concurrently while computing step q — Mosaic's
+    automatic pipeline issues block copies one at a time, leaving the ~3 µs
+    per-DMA latency unhidden (measured 67-102 ms/iteration either way; the
+    XLA gather it replaces pays the same wall at 36 GB/s)."""
+    q = pl.program_id(0)
+
+    def copies(slot, step):
+        for j in range(e):
+            node = ids_ref[step * e + j]
+            yield pltpu.make_async_copy(
+                vec_hbm.at[pl.ds(node * deg_p, deg_p), :],
+                slab_buf.at[slot, pl.ds(j * deg_p, deg_p), :],
+                vsem.at[slot, j],
+            )
+            yield pltpu.make_async_copy(
+                adj_hbm.at[node],
+                adj_buf.at[slot, j],
+                asem.at[slot, j],
+            )
+
+    @pl.when(q == 0)
+    def _first():
+        for dma in copies(0, 0):
+            dma.start()
+
+    @pl.when(q + 1 < q_total)
+    def _prefetch():
+        for dma in copies((q + 1) % 2, q + 1):
+            dma.start()
+
+    slot = q % 2
+    for dma in copies(slot, q):
+        dma.wait()
+    slab = slab_buf[slot].astype(jnp.float32)  # [e*deg_p, d]
+    qv = q_ref[0].astype(jnp.float32)  # [1, d]
+    s = jax.lax.dot_general(
+        slab, qv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(1, e, deg_p)
+    if deg_p < LANE:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, LANE - deg_p)),
+                    constant_values=-jnp.inf)
+    sims_ref[...] = s
+    nbr_ref[...] = adj_buf[slot].reshape(1, e, LANE)
+
+
+def _beam_expand_dma(sel_ids, queries, packed_vecs, packed_ids, deg_p):
+    q_n, e = sel_ids.shape
+    d = queries.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda q, ids: (q, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed_vecs stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed_ids stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, e, LANE), lambda q, ids: (q, 0, 0)),
+            pl.BlockSpec((1, e, LANE), lambda q, ids: (q, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e * deg_p, d), jnp.int8),
+            pltpu.VMEM((2, e, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, e)),
+            pltpu.SemaphoreType.DMA((2, e)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _expand_kernel_dma, e=e, deg_p=deg_p, q_total=q_n
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_n, e, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, e, LANE), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_n * e * deg_p * d,
+            bytes_accessed=q_n * e * (deg_p * d + 2 * d + LANE * 8),
+            transcendentals=0,
+        ),
+    )(
+        sel_ids.reshape(-1),
+        queries.reshape(q_n, 1, d),
+        packed_vecs,
+        packed_ids,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("deg_p", "interpret")
+)
+def beam_expand(
+    sel_ids: jnp.ndarray,  # [Q, E] int32 expanded node ids (clipped >= 0)
+    queries: jnp.ndarray,  # [Q, d] bf16/f32
+    packed_vecs: jnp.ndarray,  # [N*deg_p, d] int8
+    packed_ids: jnp.ndarray,  # [N, 128] int32
+    inv_scale: jnp.ndarray,  # [] f32
+    deg_p: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (sims [Q, E, 128] f32 dequantised, nbr_ids [Q, E, 128] int32).
+
+    Lanes >= deg_p carry -inf / -1 padding; callers slice [:, :, :degree]."""
+    q_n, e = sel_ids.shape
+    d = queries.shape[1]
+
+    if not interpret:
+        # real TPU: manual double-buffered DMA (concurrent slab copies)
+        sims, nbrs = _beam_expand_dma(
+            sel_ids, queries, packed_vecs, packed_ids, deg_p
+        )
+        return sims * inv_scale, nbrs
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (deg_p, d), lambda q, ids, j=j: (ids[q * e + j], 0)
+        )
+
+    def adj_spec(j):
+        return pl.BlockSpec(
+            (1, 1, LANE), lambda q, ids, j=j: (ids[q * e + j], 0, 0)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_n,),
+        in_specs=[
+            # [Q, 1, d]: block trailing dims (1, d) == array's → allowed
+            pl.BlockSpec((1, 1, d), lambda q, ids: (q, 0, 0)),
+            *[slab_spec(j) for j in range(e)],
+            *[adj_spec(j) for j in range(e)],
+        ],
+        out_specs=[
+            pl.BlockSpec((1, e, LANE), lambda q, ids: (q, 0, 0)),
+            pl.BlockSpec((1, e, LANE), lambda q, ids: (q, 0, 0)),
+        ],
+    )
+    sims, nbrs = pl.pallas_call(
+        functools.partial(_expand_kernel, e=e, deg_p=deg_p),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_n, e, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, e, LANE), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_n * e * deg_p * d,
+            bytes_accessed=q_n * e * (deg_p * d + 2 * d + LANE * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        # flat 1D ids: a [Q, E] SMEM operand would be lane-padded to
+        # [Q, 128] (2 MB at Q=4096 — over the 1 MB SMEM budget)
+        sel_ids.reshape(-1),
+        queries.reshape(q_n, 1, d),
+        *([packed_vecs] * e),
+        *([packed_ids.reshape(-1, 1, LANE)] * e),
+    )
+    return sims * inv_scale, nbrs
+
+
+def beam_expand_reference(
+    sel_ids: np.ndarray,
+    queries: np.ndarray,
+    packed_vecs: np.ndarray,
+    packed_ids: np.ndarray,
+    inv_scale: float,
+    deg_p: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle of beam_expand for tests."""
+    q_n, e = sel_ids.shape
+    d = queries.shape[1]
+    sims = np.full((q_n, e, LANE), -np.inf, np.float32)
+    nbrs = np.full((q_n, e, LANE), -1, np.int32)
+    vecs = np.asarray(packed_vecs, np.float32).reshape(-1, deg_p, d)
+    for qi in range(q_n):
+        for j in range(e):
+            node = int(sel_ids[qi, j])
+            slab = vecs[node]  # [deg_p, d]
+            sims[qi, j, :deg_p] = slab @ np.asarray(queries[qi], np.float32)
+            nbrs[qi, j] = packed_ids[node]
+    return sims * float(inv_scale), nbrs

@@ -4,6 +4,11 @@ reference: pfam/proteins_search.py:28-49)?
 
 Targets: build <= 15 s, query >= 5k q/s at recall@10 >= 0.95.
 
+Data model: clustered unit vectors (family structure like pLM embeddings —
+random isotropic gaussians are adversarial for ANY graph method and are not
+the workload). Generated on device: host->device over the axon tunnel is
+slow and would dominate a naive wall-clock build measurement.
+
 Usage: python scripts/profile_graph.py [--n 131072] [--pieces]
 """
 
@@ -18,8 +23,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from knn_for_homology_tpu.ops.distance import l2_normalize
 from knn_for_homology_tpu.ops.topk import flat_topk
-from knn_for_homology_tpu.search.graph import GraphIndex, beam_search
+from knn_for_homology_tpu.search.graph import GraphIndex
+
+
+def make_clustered(n, d, q_n, n_centers=2048, spread=0.35, seed=0):
+    """Unit vectors around n_centers directions; queries near db points."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    centers = l2_normalize(jax.random.normal(k1, (n_centers, d), jnp.float32))
+    assign = jax.random.randint(k2, (n,), 0, n_centers)
+    # noise direction normalised so ||noise|| == spread exactly
+    pts = centers[assign] + spread * l2_normalize(jax.random.normal(k3, (n, d)))
+    db = l2_normalize(pts)
+    q_src = jax.random.randint(k4, (q_n,), 0, n)
+    q = l2_normalize(db[q_src] + 0.25 * l2_normalize(
+        jax.random.normal(k2, (q_n, d))))
+    return jax.block_until_ready(db), jax.block_until_ready(q)
 
 
 def timed(fn, *args, warm=1, reps=3):
@@ -43,18 +64,15 @@ def main():
     p.add_argument("--beam", type=int, default=256)
     p.add_argument("--expand", type=int, default=8)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--centers", type=int, default=2048)
     p.add_argument("--pieces", action="store_true")
-    p.add_argument("--skip-build", action="store_true")
     args = p.parse_args()
 
-    rng = np.random.RandomState(0)
-    db = rng.randn(args.n, args.d).astype(np.float32)
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
-    queries = db[rng.choice(args.n, args.q, replace=False)] + 0.1 * rng.randn(
-        args.q, args.d
-    ).astype(np.float32)
-
-    print(f"n={args.n} d={args.d} q={args.q} k={args.k}", flush=True)
+    db, queries = make_clustered(
+        args.n, args.d, args.q, n_centers=args.centers
+    )
+    print(f"n={args.n} d={args.d} q={args.q} k={args.k} "
+          f"centers={args.centers}", flush=True)
 
     index = GraphIndex(
         degree=args.degree,
@@ -66,19 +84,18 @@ def main():
     index.add(db)
     jax.block_until_ready(index._graph)
     t_build = time.perf_counter() - t0
-    print(f"build: {t_build:.1f} s", flush=True)
+    print(f"build (cold, incl. compile): {t_build:.1f} s", flush=True)
 
     # exact ground truth for recall
-    _, gt_ids = flat_topk(index._db, jnp.asarray(queries) / np.linalg.norm(
-        queries, axis=1, keepdims=True), args.k)
+    _, gt_ids = flat_topk(index._db, queries, args.k)
     gt = np.asarray(gt_ids)
 
-    # warm + timed query
+    q_host = np.asarray(queries)
     t0 = time.perf_counter()
-    sims, ids = index.search(queries, args.k)
+    sims, ids = index.search(q_host, args.k)
     t_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sims, ids = index.search(queries, args.k)
+    sims, ids = index.search(q_host, args.k)
     t_warm = time.perf_counter() - t0
     recall = np.mean([
         len(set(ids[i]) & set(gt[i])) / args.k for i in range(args.q)
@@ -93,31 +110,34 @@ def main():
         return
 
     # ---- piecewise: isolate the per-iteration costs --------------------
+    # (db passed as an argument — a closed-over device array would be
+    # baked into the HLO as a literal and blow the compile-relay limit)
+    rng = np.random.RandomState(1)
     db_t = index._db_traversal()
     graph = index._graph
     C = args.expand * args.degree
     ids_rand = jnp.asarray(
         rng.randint(0, args.n, size=(args.q, C)), jnp.int32
     )
-    q_dev = jnp.asarray(queries).astype(jnp.bfloat16)
+    q_dev = queries.astype(jnp.bfloat16)
 
     @jax.jit
-    def gather_score(ids, q):
-        vecs = db_t[ids]
+    def gather_score(db_ref, ids, q):
+        vecs = db_ref[ids]
         return jnp.einsum(
             "qcd,qd->qc", vecs, q, preferred_element_type=jnp.float32
         )
 
-    t, _ = timed(gather_score, ids_rand, q_dev)
+    t, _ = timed(gather_score, db_t, ids_rand, q_dev)
     print(f"  gather+score [{args.q},{C}]x{args.d}: {t*1e3:.2f} ms", flush=True)
 
     @jax.jit
-    def adj_gather(sel_ids):
-        return graph[sel_ids].reshape(args.q, -1)
+    def adj_gather(graph_ref, sel_ids):
+        return graph_ref[sel_ids].reshape(args.q, -1)
 
     sel = jnp.asarray(rng.randint(0, args.n, size=(args.q, args.expand)),
                       jnp.int32)
-    t, _ = timed(adj_gather, sel)
+    t, _ = timed(adj_gather, graph, sel)
     print(f"  adjacency gather [{args.q},{args.expand}]: {t*1e3:.2f} ms",
           flush=True)
 
@@ -150,7 +170,6 @@ def main():
     t, _ = timed(dedup, ids_rand, beam_ids)
     print(f"  dedup compares: {t*1e3:.2f} ms", flush=True)
 
-    # one full beam_search iteration budget for reference
     iters = args.iters if args.iters is not None else max(
         8, max(args.beam, args.k) // max(args.expand, 1) // 2)
     print(f"  (beam_search iters={iters}; per-iter budget at 5k q/s:"

@@ -100,3 +100,61 @@ def test_hit_set_overlap():
     b = [np.asarray([2, 3, 9]), np.asarray([4, 5, 6])]
     out = hit_set_overlap(a, b)
     assert out == {"only_a": 1, "both": 3, "only_b": 3}
+
+
+def test_packed_beam_matches_xla_path():
+    """packed='always' (Pallas fused expansion, interpret mode on CPU) must
+    find the same neighbours as the XLA gather path at equal settings."""
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops import graph_pallas as gp
+
+    rng = np.random.RandomState(5)
+    n, d = 512, 128
+    fams = np.repeat(np.arange(32), 16)
+    db = ((rng.randn(32, d) * 6)[fams] + rng.randn(n, d)).astype(np.float32)
+    queries = db[rng.choice(n, 24, replace=False)] + 0.05 * rng.randn(
+        24, d
+    ).astype(np.float32)
+
+    a = GraphIndex(degree=8, beam_width=32, expand=4, packed="never").add(db)
+    b = GraphIndex(degree=8, beam_width=32, expand=4, packed="always").add(db)
+    sa, ia = a.search(queries, 5)
+    sb, ib = b.search(queries, 5)
+    # identical graphs + exact fp32 rescore → identical ids and scores
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, atol=1e-5)
+
+
+def test_beam_expand_kernel_oracle():
+    """beam_expand (interpret) against the numpy oracle, including padded
+    adjacency (-1 ids → zero slabs / -inf lanes)."""
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops import graph_pallas as gp
+
+    rng = np.random.RandomState(1)
+    n_nodes, d, deg, e, q_n = 96, 256, 11, 3, 6
+    db = rng.randn(n_nodes, d).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    graph = rng.randint(0, n_nodes, (n_nodes, deg)).astype(np.int32)
+    graph[::7, -2:] = -1  # holes in the adjacency
+    deg_p = gp.pad_degree(deg)
+    pv, pi, inv_s = gp.pack_neighbours(
+        jnp.asarray(db), jnp.asarray(graph), deg_p
+    )
+    sel = rng.randint(0, n_nodes, (q_n, e)).astype(np.int32)
+    queries = rng.randn(q_n, d).astype(np.float32)
+    sims, nbrs = gp.beam_expand(
+        jnp.asarray(sel), jnp.asarray(queries), pv, pi, inv_s, deg_p,
+        interpret=True,
+    )
+    ref_s, ref_n = gp.beam_expand_reference(
+        sel, queries, np.asarray(pv), np.asarray(pi), float(inv_s), deg_p
+    )
+    np.testing.assert_array_equal(np.asarray(nbrs), ref_n)
+    np.testing.assert_allclose(
+        np.asarray(sims)[:, :, :deg_p], ref_s[:, :, :deg_p], atol=1e-5
+    )
+    # a -1 adjacency hole scores exactly 0 (zero slab), never -inf leakage
+    assert np.isfinite(np.asarray(sims)[:, :, :deg_p]).all()
