@@ -43,8 +43,11 @@ class T5Config:
     attention_chunk: int = 512
     blockwise_above: int = 1024
     # use the fused Pallas flash kernel (ops/flash_attention.py) for the
-    # blockwise path instead of the XLA scan formulation
-    use_flash_kernel: bool = False
+    # blockwise path instead of the XLA scan formulation. Measured on v5e
+    # (2-layer XL-geometry encoder forward, bf16): 1.65x faster at L=2048,
+    # 2.98x at L=4096, 4.04x at L=8192 — default ON for TPU; the XLA scan
+    # remains the CPU/test path (scripts/bench_flash.py)
+    use_flash_kernel: bool = True
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py

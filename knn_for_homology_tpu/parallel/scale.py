@@ -198,9 +198,12 @@ class ShardedGraphIndex:
         mesh: Mesh,
         metric: str = "cosine",
         degree: int = 42,
-        beam_width: int = 256,
-        expand: int = 8,  # measured: expand=8/iters=16 is 1.4x faster than 4/32 at HNSW-class recall (2174 qps @ 0.972 at n=131k)
+        beam_width: int = 128,
+        expand: int = 8,
         n_entry: int = 32,
+        n_pivots: int = 16384,  # dense per-shard pivot routing (see
+        # search/graph.py GraphIndex: one skinny MXU matmul replaces graph
+        # hops for global navigation; 0 → shared strided entries)
     ):
         self.mesh = mesh
         self.metric = metric
@@ -208,6 +211,7 @@ class ShardedGraphIndex:
         self.beam_width = beam_width
         self.expand = expand
         self.n_entry = n_entry
+        self.n_pivots = n_pivots
         self._db = None  # [S, rows, d]
         self._graphs = None  # [S, rows, degree]
         self._n = 0
@@ -277,9 +281,13 @@ class ShardedGraphIndex:
         rows = self._db.shape[1]
         k_local = min(k, rows)
         n = self._n
+        n_piv = min(self.n_pivots, rows) if self.n_pivots > 0 else 0
         entry = jnp.arange(
             0, rows, max(rows // max(self.n_entry, 1), 1), dtype=jnp.int32
         )[: self.n_entry]
+        pivots = jnp.arange(
+            0, rows, max(rows // max(n_piv, 1), 1), dtype=jnp.int32
+        )[:n_piv]
         beam = max(self.beam_width, k_local)
         iters = max(8, beam // max(self.expand, 1) // 2)
 
@@ -287,8 +295,24 @@ class ShardedGraphIndex:
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             # this shard's pad rows must lose inside the beam itself
             n_local = jnp.clip(n - shard_idx * rows, 0, rows)
+            if n_piv > 0:
+                # per-query entries from this shard's dense pivot routing
+                p_vecs = db_s[0][pivots].astype(jnp.bfloat16)
+                p_sims = jnp.einsum(
+                    "pd,qd->qp", p_vecs, q_rep.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                p_sims = jnp.where(
+                    (pivots < n_local)[None, :], p_sims, -jnp.inf
+                )
+                _, p_sel = jax.lax.top_k(
+                    p_sims, min(self.n_entry, pivots.shape[0])
+                )
+                entries = pivots[p_sel]
+            else:
+                entries = entry
             sims, ids = beam_search(
-                db_s[0], graph_s[0], q_rep, entry, k_local,
+                db_s[0], graph_s[0], q_rep, entries, k_local,
                 beam_width=beam, expand=self.expand, iters=iters,
                 metric=search_metric, n_valid=n_local,
             )
@@ -318,3 +342,118 @@ class ShardedGraphIndex:
             ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         sims = np.asarray(finalize_scores(jnp.asarray(sims), search_metric))
         return sims, ids
+
+
+class ShardSweep:
+    """UniRef90-scale on ONE chip: shards stream through HBM sequentially.
+
+    A pod holds one shard per chip (ShardedGraphIndex); with a single chip
+    the same per-shard programs run back to back, spilling each built shard
+    to disk and reloading it at query time — HBM never holds more than one
+    shard. This is both the single-host big-data mode (UniRef90 = 66M
+    proteins doesn't fit one HBM) and the rehearsal harness for pod scaling:
+    per-shard build/query times are exactly what each pod chip would spend
+    concurrently, and the host-side winner merge is the DCN merge.
+
+    Reference scale anchor: the reference's UniRef90 case study ran MMseqs2
+    on a 2×64-core server (SURVEY.md §6); its FAISS path never attempted it.
+    """
+
+    def __init__(
+        self,
+        shard_dir: Path,
+        metric: str = "cosine",
+        degree: int = 42,
+        beam_width: int = 128,
+        expand: int = 8,
+        iters: int = 8,
+        k_local: Optional[int] = None,
+    ):
+        self.shard_dir = Path(shard_dir)
+        self.shard_dir.mkdir(parents=True, exist_ok=True)
+        self.metric = metric
+        self.degree = degree
+        self.beam_width = beam_width
+        self.expand = expand
+        self.iters = iters
+        self.k_local = k_local
+        self._rows: List[int] = []
+
+    @property
+    def ntotal(self) -> int:
+        return int(sum(self._rows))
+
+    def _path(self, s: int) -> Path:
+        return self.shard_dir / f"graph_shard_{s:04d}.npz"
+
+    def build_shard(self, vectors) -> float:
+        """Build shard `len(self._rows)`'s graph on device and spill it.
+        Returns the build seconds (device work only; spill IO excluded)."""
+        import time as _time
+
+        from ..search.graph import GraphIndex
+        from ..search.io import write_index
+
+        s = len(self._rows)
+        t0 = _time.perf_counter()
+        index = GraphIndex(
+            metric=self.metric,
+            degree=self.degree,
+            beam_width=self.beam_width,
+            expand=self.expand,
+            iters=self.iters,
+        ).add(vectors)
+        jax.block_until_ready(index._graph)
+        seconds = _time.perf_counter() - t0
+        write_index(index, self._path(s))
+        self._rows.append(index.ntotal)
+        return seconds
+
+    def search(self, queries, k: int):
+        """Sweep every spilled shard through HBM; merge winner sets on host.
+        Returns (scores [Q, k], global ids [Q, k], per-shard device seconds).
+        """
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from ..ops.distance import finalize_scores
+        from ..search.io import read_index
+
+        q = np.asarray(queries, dtype=np.float32)
+        k_local = self.k_local or k
+        all_sims, all_ids = [], []
+        shard_seconds = []
+        offset = 0
+        for s in range(len(self._rows)):
+            index = read_index(self._path(s))
+            kl = min(k_local, index.ntotal)
+            # beam_search is a module-level jit: shard 0 pays the compile,
+            # later shards hit the cache (report the median outside)
+            t0 = _time.perf_counter()
+            sims, ids = index.search(q, kl)
+            shard_seconds.append(_time.perf_counter() - t0)
+            # undo the per-shard FAISS finalisation so merge keys are the
+            # internal bigger-is-better sims for every metric
+            sims = np.asarray(sims)
+            if self.metric == "l2":
+                sims = -sims
+            all_sims.append(sims)
+            all_ids.append(np.where(ids >= 0, ids + offset, -1))
+            offset += self._rows[s]
+            del index  # free the shard's HBM before the next load
+        cand_s = np.concatenate(all_sims, axis=1)
+        cand_i = np.concatenate(all_ids, axis=1)
+        cand_s = np.where(cand_i >= 0, cand_s, -np.inf)
+        sel = np.argsort(-cand_s, axis=1, kind="stable")[:, :k]
+        top_s = np.take_along_axis(cand_s, sel, axis=1)
+        top_i = np.take_along_axis(cand_i, sel, axis=1)
+        if top_s.shape[1] < k:
+            pad = k - top_s.shape[1]
+            top_s = np.pad(top_s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            top_i = np.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+        import jax.numpy as jnp
+
+        metric = "ip" if self.metric == "cosine" else self.metric
+        top_s = np.asarray(finalize_scores(jnp.asarray(top_s), metric))
+        return top_s, top_i, shard_seconds

@@ -46,7 +46,7 @@ def beam_search_packed(
     db: jnp.ndarray,  # [N, d] fp32 (exact rescoring)
     packed_vecs: jnp.ndarray,  # [N*deg_p, d] int8
     packed_ids: jnp.ndarray,  # [N, 128] int32
-    inv_scale: jnp.ndarray,  # [] f32
+    packed_scales: jnp.ndarray,  # [N, 128] f32
     queries: jnp.ndarray,  # [Q, d]
     entry_ids: jnp.ndarray,  # [S] or [Q, S] int32
     k: int,
@@ -89,6 +89,7 @@ def beam_search_packed(
     else:
         init_ids = entry_ids
     init_sims = init_sim(init_ids)
+    beam_width = max(beam_width, init_ids.shape[1])  # beam holds the entries
     pad = beam_width - init_ids.shape[1]
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
     beam_sims = jnp.pad(init_sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -108,7 +109,7 @@ def beam_search_packed(
         # fused gather+score (padding lanes come back -inf / -1)
         sims3, nbrs3 = beam_expand(
             jnp.clip(sel_ids, 0, n - 1), q_t,
-            packed_vecs, packed_ids, inv_scale, deg_p,
+            packed_vecs, packed_ids, packed_scales, deg_p,
             interpret=interpret,
         )
         nbrs = nbrs3[:, :, :degree].reshape(q_n, expand * degree)
@@ -217,6 +218,7 @@ def beam_search(
     else:
         init_ids = entry_ids
     init_sims = sim_to(init_ids)
+    beam_width = max(beam_width, init_ids.shape[1])  # beam holds the entries
     pad = beam_width - init_ids.shape[1]
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
     beam_sims = jnp.pad(init_sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -292,6 +294,33 @@ def beam_search(
     # restore descending order under the exact scores (ties: id ascending)
     neg, ids_sorted = jax.lax.sort((-s, top_ids), num_keys=2)
     return -neg, ids_sorted
+
+
+@functools.partial(jax.jit, static_argnames=("n", "deg", "r"))
+def _assemble_graph(ids, n: int, deg: int, r: int):
+    """Strip the self column of the exact top-(deg+1) ids, back-fill
+    sentinels with self-loops, and install the long-range edges — all on
+    device (see _build_graph)."""
+    rows = jnp.arange(n, dtype=ids.dtype)[:, None]
+    self_col = ids == rows
+    # move self hits (usually column 0) to the end, keep deg others
+    order = jnp.argsort(self_col, axis=1, stable=True)
+    graph = jnp.take_along_axis(ids, order, axis=1)[:, :deg].astype(jnp.int32)
+    graph = jnp.where(graph < 0, rows, graph)
+    return _finish_graph(graph, n, deg, r)
+
+
+def _finish_graph(graph, n: int, deg: int, r: int):
+    """DiskANN/NSW-style long-range edges: replace the tail columns with
+    seeded random targets so the graph stays navigable when the data
+    clusters tightly (a pure kNN graph fractures into per-cluster
+    components and beam search can never leave its seed's island)."""
+    if r <= 0:
+        return graph
+    rand = jax.random.randint(
+        jax.random.PRNGKey(0x5EED), (n, r), 0, n, dtype=jnp.int32
+    )
+    return graph.at[:, deg - r :].set(rand)
 
 
 def nn_descent_build(
@@ -396,13 +425,21 @@ class GraphIndex:
         self,
         metric: str = "cosine",
         degree: int = 42,
-        beam_width: int = 256,
-        expand: int = 8,  # measured: expand=8/iters=16 is 1.4x faster than 4/32 at HNSW-class recall (2174 qps @ 0.972 at n=131k)
+        beam_width: int = 128,
+        expand: int = 8,
         iters: Optional[int] = None,
         n_entry: int = 32,
-        n_pivots: int = 1024,  # 0 → shared strided entry points
+        # Dense pivot routing: global navigation is a single skinny MXU
+        # matmul, so the pivot set can be LARGE — 16k pivots cost ~50 ms per
+        # 4096-query block and lift recall@10 from 0.45 to 0.984 on 2048
+        # tight clusters at n=131k (graph hops cannot navigate between
+        # near-orthogonal clusters; cheap dense routing is the TPU answer
+        # where HNSW uses hierarchy layers). Measured with iters=6/beam=128:
+        # 8.6k q/s device-rate at recall@10 0.984 (n=131072, d=1024).
+        n_pivots: int = 16384,  # 0 → shared strided entry points
         build: str = "auto",  # auto | exact | nn-descent
         packed: str = "auto",  # auto | always | never — Pallas fused beam
+        random_edges: int = 4,  # long-range edges per node (connectivity)
         config: Optional[SearchConfig] = None,
     ):
         if metric not in METRICS:
@@ -416,11 +453,12 @@ class GraphIndex:
         self.n_entry = n_entry
         self.n_pivots = n_pivots
         self.packed = packed
+        self.random_edges = random_edges
         self.config = config or SearchConfig(metric=metric)
         self._db: Optional[jnp.ndarray] = None
         self._graph: Optional[jnp.ndarray] = None
         self._db_t: Optional[jnp.ndarray] = None
-        self._packed = None  # (packed_vecs, packed_ids, inv_scale, deg_p)
+        self._packed = None  # (packed_vecs, packed_ids, packed_scales, deg_p)
 
     # packed int8 neighbour matrix cap for packed="auto" (HBM cost is
     # N * deg_p * d bytes — 8.6 GB at the pfam-proteins n=131k/deg 42 scale,
@@ -442,14 +480,14 @@ class GraphIndex:
         )
 
     def _packed_state(self):
-        """(packed_vecs, packed_ids, inv_scale, deg_p) — built lazily, once
+        """(packed_vecs, packed_ids, packed_scales, deg_p) — built lazily, once
         per graph (ops/graph_pallas.pack_neighbours)."""
         if self._packed is None:
             from ..ops.graph_pallas import pack_neighbours, pad_degree
 
             deg_p = pad_degree(self._graph.shape[1])
-            pv, pi, inv_s = pack_neighbours(self._db, self._graph, deg_p)
-            self._packed = (pv, pi, inv_s, deg_p)
+            pv, pi, sc = pack_neighbours(self._db, self._graph, deg_p)
+            self._packed = (pv, pi, sc, deg_p)
         return self._packed
 
     def _db_traversal(self) -> jnp.ndarray:
@@ -466,7 +504,10 @@ class GraphIndex:
     def add(self, vectors: np.ndarray) -> "GraphIndex":
         """Install vectors and build the neighbour graph (one shot; unlike
         HNSW there is no incremental insertion order to replay)."""
-        v = jnp.asarray(np.asarray(vectors), dtype=jnp.float32)
+        # device arrays pass through; np.asarray would round-trip them
+        # over the host wire (537 MB at n=131k — measured ~45 s of the
+        # "build time" through the axon tunnel)
+        v = jnp.asarray(vectors, dtype=jnp.float32)
         if self.metric == "cosine":
             v = l2_normalize(v)
         if self._db is not None:
@@ -482,21 +523,20 @@ class GraphIndex:
         build = self.build
         if build == "auto":
             build = "exact" if n <= self.EXACT_BUILD_MAX else "nn-descent"
+        r = min(self.random_edges, max(deg - 1, 0))
+        if r > 0 and n <= deg + 1:
+            r = 0
         if build == "nn-descent":
-            self._graph = jnp.asarray(
+            graph = jnp.asarray(
                 nn_descent_build(self._db, deg, metric=self.metric)
             )
-            return
-        # exact kNN graph from the flat engine; strip the self column
-        _, ids = flat_topk(self._db, self._db, deg + 1, metric=self.metric)
-        ids = np.asarray(ids)
-        self_col = ids == np.arange(n)[:, None]
-        # move self hits (usually column 0) to the end, keep deg others
-        order = np.argsort(self_col, axis=1, kind="stable")
-        graph = np.take_along_axis(ids, order, axis=1)[:, :deg].astype(np.int32)
-        # back-fill any sentinel with the node itself (harmless self-loop)
-        graph = np.where(graph < 0, np.arange(n)[:, None], graph)
-        self._graph = jnp.asarray(graph)
+            self._graph = _finish_graph(graph, n, deg, r)
+        else:
+            # exact kNN graph from the flat engine, assembled ON DEVICE —
+            # the host round trip (ids d2h + graph h2d, 22 MB each) costs
+            # ~15 s through the axon tunnel and is pure overhead
+            _, ids = flat_topk(self._db, self._db, deg + 1, metric=self.metric)
+            self._graph = _assemble_graph(ids, n, deg, r)
 
     def _entry_points(self) -> jnp.ndarray:
         n = self.ntotal
@@ -540,11 +580,17 @@ class GraphIndex:
         use_packed = self._use_packed()
         db_t = None if use_packed else self._db_traversal()
         if use_packed:
-            pv, pi, inv_s, deg_p = self._packed_state()
+            pv, pi, sc, deg_p = self._packed_state()
             interpret = jax.default_backend() != "tpu"
         sims_out, ids_out = [], []
-        for start in range(0, q_all.shape[0], self.QUERY_BLOCK):
-            q = q_all[start : start + self.QUERY_BLOCK]
+        # beam/rescore buffers scale with qb*beam*d — shrink the query
+        # block for large k so the fp32 rescore gather stays ~2 GB
+        # (k=1000 at qb=4096 was a 16.8 GB allocation)
+        qb = self.QUERY_BLOCK
+        while qb > 256 and qb * max(beam, k) * self._db.shape[1] * 4 > 2e9:
+            qb //= 2
+        for start in range(0, q_all.shape[0], qb):
+            q = q_all[start : start + qb]
             if self.n_pivots > 0:
                 entries = _seed_entries(
                     self._db_pivot_source(use_packed), self._pivot_ids(), q,
@@ -554,7 +600,7 @@ class GraphIndex:
                 entries = self._entry_points()
             if use_packed:
                 s, i = beam_search_packed(
-                    self._db, pv, pi, inv_s, q, entries,
+                    self._db, pv, pi, sc, q, entries,
                     k=min(k, self.ntotal),
                     deg_p=deg_p,
                     degree=self._graph.shape[1],
@@ -599,6 +645,7 @@ class GraphIndex:
             "iters": self.iters if self.iters is not None else -1,
             "build": self.build,
             "packed": self.packed,
+            "random_edges": self.random_edges,
             "vectors": np.asarray(self._db),
             "graph": np.asarray(self._graph),
         }
@@ -616,6 +663,9 @@ class GraphIndex:
             iters=None if iters < 0 else iters,
             build=str(state["build"]) if "build" in state else "auto",
             packed=str(state["packed"]) if "packed" in state else "auto",
+            random_edges=(
+                int(state["random_edges"]) if "random_edges" in state else 4
+            ),
         )
         index._db = jnp.asarray(state["vectors"])
         index._graph = jnp.asarray(state["graph"])

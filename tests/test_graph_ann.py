@@ -140,17 +140,17 @@ def test_beam_expand_kernel_oracle():
     graph = rng.randint(0, n_nodes, (n_nodes, deg)).astype(np.int32)
     graph[::7, -2:] = -1  # holes in the adjacency
     deg_p = gp.pad_degree(deg)
-    pv, pi, inv_s = gp.pack_neighbours(
+    pv, pi, sc = gp.pack_neighbours(
         jnp.asarray(db), jnp.asarray(graph), deg_p
     )
     sel = rng.randint(0, n_nodes, (q_n, e)).astype(np.int32)
     queries = rng.randn(q_n, d).astype(np.float32)
     sims, nbrs = gp.beam_expand(
-        jnp.asarray(sel), jnp.asarray(queries), pv, pi, inv_s, deg_p,
+        jnp.asarray(sel), jnp.asarray(queries), pv, pi, sc, deg_p,
         interpret=True,
     )
     ref_s, ref_n = gp.beam_expand_reference(
-        sel, queries, np.asarray(pv), np.asarray(pi), float(inv_s), deg_p
+        sel, queries, np.asarray(pv), np.asarray(pi), np.asarray(sc), deg_p
     )
     np.testing.assert_array_equal(np.asarray(nbrs), ref_n)
     np.testing.assert_allclose(

@@ -90,3 +90,44 @@ def test_sharded_graph_index(pod_mesh):
     assert recall > 0.9, recall
     # scores descending cosine
     assert np.all(np.diff(scores, axis=1) <= 1e-5)
+
+
+def test_shard_sweep_one_chip(tmp_path):
+    """ShardSweep: spill shards, sweep them sequentially, merge winners —
+    ids must match a global exact search (VERDICT r1 #10 rehearsal path)."""
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.topk import flat_topk
+    from knn_for_homology_tpu.parallel.scale import ShardSweep
+
+    rng = np.random.RandomState(0)
+    shards, rows, d, k = 3, 256, 32, 5
+    chunks = [
+        (rng.randn(rows, d) / np.sqrt(d)).astype(np.float32)
+        for _ in range(shards)
+    ]
+    sweep = ShardSweep(
+        tmp_path / "shards", degree=12, beam_width=64, expand=8, iters=8
+    )
+    for c in chunks:
+        secs = sweep.build_shard(c)
+        assert secs > 0
+    assert sweep.ntotal == shards * rows
+    queries = chunks[1][:17] + 0.01 * rng.randn(17, d).astype(np.float32)
+    scores, ids, shard_secs = sweep.search(queries, k)
+    assert len(shard_secs) == shards
+    assert scores.shape == (17, k) and ids.shape == (17, k)
+
+    # exact global ground truth over the normalised concatenation
+    db = np.concatenate(chunks)
+    db = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    _, gt = flat_topk(jnp.asarray(db), jnp.asarray(qn), k)
+    gt = np.asarray(gt)
+    recall = np.mean([
+        len(set(ids[i]) & set(gt[i])) / k for i in range(len(ids))
+    ])
+    assert recall > 0.9, recall
+    # merged scores descend and ids are global
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    assert ids.max() < shards * rows and ids.min() >= 0
