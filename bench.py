@@ -72,12 +72,14 @@ def main() -> None:
     from knn_for_homology_tpu.ops.distance import l2_normalize
     from knn_for_homology_tpu.ops.topk import flat_topk
 
-    rng = np.random.RandomState(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    db_host = rng.randn(args.n, args.d).astype(np.float32)
-    db = l2_normalize(jnp.asarray(db_host)).astype(dtype)
-    db = jax.device_put(db)
-    del db_host
+    # generated on device: a 537 MB host->device transfer costs minutes
+    # through the axon tunnel and adds nothing to a throughput benchmark
+    key = jax.random.PRNGKey(0)
+    db = l2_normalize(
+        jax.random.normal(key, (args.n, args.d), jnp.float32)
+    ).astype(dtype)
+    jax.block_until_ready(db)
 
     def run():
         sims, ids = flat_topk(

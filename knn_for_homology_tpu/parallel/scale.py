@@ -428,6 +428,10 @@ class ShardSweep:
         for s in range(len(self._rows)):
             index = read_index(self._path(s))
             kl = min(k_local, index.ntotal)
+            # sync the shard's lazy host->device transfer BEFORE the timer:
+            # per-shard seconds must reflect the device pass a pod chip
+            # would run concurrently, not this machine's load bandwidth
+            jax.block_until_ready(index._db)
             # beam_search is a module-level jit: shard 0 pays the compile,
             # later shards hit the cache (report the median outside)
             t0 = _time.perf_counter()
