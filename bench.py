@@ -33,10 +33,11 @@ def main() -> None:
     parser.add_argument(
         "--recall-target",
         type=float,
-        default=0.9,
-        help="approx_max_k target; measured recall is reported (0.9 target"
-        " measures ≈0.974 actual at n=131k/k=1000, above HNSW efSearch=256;"
-        " 0.85 measures ≈0.944 at ~62x baseline if more speed is wanted)",
+        default=0.95,
+        help="recall target of the segment-top-R engine's Poisson slot"
+        " bound; measured recall is reported (0.95 target measures ≈0.979"
+        " actual at n=131k/k=1000 — 110k q/s = 64.7x; 0.9 target measures"
+        " ≈0.90 at 134k q/s = 78.8x)",
     )
     parser.add_argument(
         "--dtype",

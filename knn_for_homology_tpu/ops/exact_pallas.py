@@ -184,6 +184,25 @@ def _candidates_and_topk(
     return vals, ids, suspect
 
 
+def r_for_recall(k: int, db_tile: int, recall_target: float) -> int:
+    """Smallest per-segment slot count R whose expected element loss meets
+    the recall target. Top-k elements land in segments ~Poisson(λ = k/W);
+    a segment drops E[(X-R)+] elements, so the missed fraction is
+    E[(X-R)+]/λ. (The exact mode instead uses R=8 + a certificate.)"""
+    import math
+
+    lam = max(k / db_tile, 1e-9)
+    for r in range(1, 65):
+        # E[(X-r)^+] for Poisson(lam)
+        loss = sum(
+            (x - r) * math.exp(-lam) * lam**x / math.factorial(x)
+            for x in range(r + 1, r + 40)
+        )
+        if loss / lam <= (1.0 - recall_target):
+            return r
+    return 64
+
+
 def exact_pallas_topk(
     db: jnp.ndarray,
     queries: jnp.ndarray,
@@ -194,6 +213,8 @@ def exact_pallas_topk(
     r_slots: int = DEFAULT_R,
     interpret: bool = None,
     highest_precision: bool = None,
+    exact: bool = True,
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the whole database (large-k fast path).
 
@@ -218,10 +239,18 @@ def exact_pallas_topk(
     k_eff = min(k, n)
 
     db_tile = min(db_tile, max(128, _round_up(n, 128)))
+    if not exact:
+        # approx mode (the TPU-KNN recall-target regime): R sized by the
+        # Poisson loss bound instead of the exactness certificate — a
+        # narrower candidate buffer makes the epilogue sort (the dominant
+        # cost at R=8) proportionally cheaper
+        r_slots = r_for_recall(k_eff, db_tile, recall_target)
     # r_slots * db_tile candidates must cover k with headroom, and the
     # striding argument (id runs <= W hit each segment <= ceil(k/W)+1
     # times) needs W ~ k; tiny-n tests shrink the tile, so grow R to fit.
-    while r_slots * db_tile < max(2 * k_eff, k_eff + db_tile):
+    while r_slots * db_tile < (
+        max(2 * k_eff, k_eff + db_tile) if exact else k_eff
+    ):
         r_slots *= 2
 
     # The [QB, r*T] candidate buffer is the only O(Q) HBM cost — block the
@@ -235,6 +264,7 @@ def exact_pallas_topk(
                 db, queries[s : s + max_block], k, metric=metric,
                 db_tile=db_tile, query_block=query_block, r_slots=r_slots,
                 interpret=interpret, highest_precision=highest_precision,
+                exact=exact, recall_target=recall_target,
             )
             for s in range(0, q_n, max_block)
         ]
@@ -263,7 +293,9 @@ def exact_pallas_topk(
         interpret, highest_precision,
     )
 
-    flagged = np.flatnonzero(np.asarray(suspect))
+    flagged = (
+        np.flatnonzero(np.asarray(suspect)) if exact else np.empty(0, int)
+    )
     if flagged.size:
         # Rare exactness fallback (a segment held >= R of a row's top-k):
         # full-row sort for just those rows.

@@ -182,14 +182,19 @@ def flat_topk(
             jnp.zeros((0, k), jnp.int32),
         )
     if (
-        not approx
-        and k > 32
+        k > 32
         and db.shape[1] % 128 == 0
         and jax.default_backend() == "tpu"
     ):
         from .exact_pallas import exact_pallas_topk
 
-        return exact_pallas_topk(db, queries, k, metric=metric)
+        # approx: same fused kernel in the recall-target regime (narrow
+        # candidate buffer, no certificate) — measured faster than
+        # approx_max_k over full rows at equal recall
+        return exact_pallas_topk(
+            db, queries, k, metric=metric,
+            exact=not approx, recall_target=recall_target,
+        )
     # shrink the query block until the one-shot buffer fits
     qb = min(query_block, q_n) or 1
     while qb > 256 and qb * n * 4 > ONESHOT_SIM_BYTES:
