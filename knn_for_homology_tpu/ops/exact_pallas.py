@@ -52,7 +52,7 @@ DEFAULT_R = 8
 
 
 def _segment_topr_kernel(
-    q_ref, db_ref, vals_ref, ids_ref,
+    nv_ref, q_ref, db_ref, vals_ref, ids_ref,
     *, r_slots, metric, n_db, precision,
 ):
     # The output blocks double as the running per-segment top-R state
@@ -85,7 +85,11 @@ def _segment_topr_kernel(
     tile = db.shape[0]
     qb = q.shape[0]
     col_ids = j * tile + jax.lax.broadcasted_iota(jnp.int32, (qb, tile), 1)
-    sims = jnp.where(col_ids < n_db, sims, NEG_INF)
+    # bound = min(static row count, traced n_valid) — n_valid rides SMEM so
+    # shard_map callers can mask their shard's pad rows without a recompile
+    sims = jnp.where(
+        col_ids < jnp.minimum(n_db, nv_ref[0]), sims, NEG_INF
+    )
 
     # Insert this tile's one candidate per lane into the lane's sorted
     # R-slot list (desc). Strict > keeps the earlier (lower-id) element on
@@ -112,9 +116,10 @@ def _segment_topr_kernel(
 )
 def _candidates_and_topk(
     db, queries, k, r_slots, metric, db_tile, query_block, interpret,
-    highest_precision,
+    highest_precision, n_valid=None,
 ):
-    """Kernel + epilogue: returns (vals [Q,k], ids [Q,k], suspect [Q] bool)."""
+    """Kernel + epilogue: returns (vals [Q,k], ids [Q,k], suspect [Q] bool).
+    `n_valid` may be a traced scalar (shard_map pad masking)."""
     n, d = db.shape
     q_n = queries.shape[0]
 
@@ -123,6 +128,7 @@ def _candidates_and_topk(
     grid = (q_p.shape[0] // query_block, db_p.shape[0] // db_tile)
     width = r_slots * db_tile
 
+    nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
     precision = (
         jax.lax.Precision.HIGHEST if highest_precision
         else jax.lax.Precision.DEFAULT
@@ -135,6 +141,7 @@ def _candidates_and_topk(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (query_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -166,7 +173,7 @@ def _candidates_and_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_p, db_p)
+    )(nv, q_p, db_p)
     buf_v, buf_i = buf_v[:q_n], buf_i[:q_n]
 
     # Order candidates exactly like lax.top_k: value desc, id asc on ties.
@@ -306,6 +313,89 @@ def exact_pallas_topk(
         vals = jnp.asarray(vals).at[flagged].set(f_vals)
         ids = jnp.asarray(ids).at[flagged].set(f_ids)
 
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "db_tile", "query_block", "r_slots", "interpret",
+        "highest_precision", "exact", "recall_target",
+    ),
+)
+def exact_pallas_topk_traced(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    n_valid=None,  # traced scalar ok (shard pad masking)
+    db_tile: int = 1024,
+    query_block: int = 64,
+    r_slots: int = DEFAULT_R,
+    interpret: bool = False,
+    highest_precision: bool = False,
+    exact: bool = True,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-jittable segment-top-R top-k — safe inside shard_map/jit.
+
+    Same math as exact_pallas_topk, but the exactness fallback is a
+    `lax.cond` over an O(k)-memory streaming recompute of the WHOLE query
+    block (instead of host-side suspect-row selection, which round-trips
+    through numpy and cannot trace). The certificate fires with
+    probability ~1e-6 per row, so the recompute branch almost never runs.
+    """
+    from .topk import streaming_topk
+
+    n, d = db.shape
+    q_n = queries.shape[0]
+    k_eff = min(k, n)
+    db_tile = min(db_tile, max(128, _round_up(n, 128)))
+    if not exact:
+        r_slots = r_for_recall(k_eff, db_tile, recall_target)
+    while r_slots * db_tile < (
+        max(2 * k_eff, k_eff + db_tile) if exact else k_eff
+    ):
+        r_slots *= 2
+    itemsize = db.dtype.itemsize
+    while (
+        query_block > 8
+        and (
+            2 * 2 * r_slots * query_block * db_tile * 4
+            + 2 * db_tile * d * itemsize
+            + query_block * d * itemsize
+            + query_block * db_tile * 4
+        )
+        > 13 * 1024 * 1024
+    ):
+        query_block //= 2
+    # bound the [QB, R*T] candidate buffer by blocking queries (unrolled in
+    # the trace: Q is static)
+    max_block = max(
+        query_block, (256 << 20) // (r_slots * db_tile * 8) // 8 * 8 or 8
+    )
+    vals_out, ids_out = [], []
+    for s in range(0, q_n, max_block):
+        q_blk = queries[s : s + max_block]
+        vals, ids, suspect = _candidates_and_topk(
+            db, q_blk, k_eff, r_slots, metric, db_tile, query_block,
+            interpret, highest_precision, n_valid,
+        )
+        if exact:
+            vals, ids = jax.lax.cond(
+                jnp.any(suspect),
+                lambda q_blk=q_blk, v=vals, i=ids: streaming_topk(
+                    db, q_blk, k_eff, metric=metric, n_valid=n_valid
+                ),
+                lambda q_blk=q_blk, v=vals, i=ids: (v, i),
+            )
+        vals_out.append(vals)
+        ids_out.append(ids)
+    vals = jnp.concatenate(vals_out, axis=0)
+    ids = jnp.concatenate(ids_out, axis=0)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)

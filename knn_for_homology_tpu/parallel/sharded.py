@@ -28,11 +28,34 @@ from ..ops.topk import ONESHOT_SIM_BYTES, oneshot_topk, streaming_topk
 from .mesh import DATA_AXIS
 
 
+# Opt-in: route the shard-local selection through the segment-top-R Pallas
+# engine (ops/exact_pallas.py exact_pallas_topk_traced — traced n_valid,
+# in-jit certificate fallback; single-chip: 2.6x -> 22.7x for exact
+# large-k). OFF by default: compiling the kernel inside shard_map through
+# this machine's compile relay was observed to take pathologically long
+# (>20 min), and real-pod compile behaviour can't be validated here.
+# Flip on a pod after one compile sanity check.
+USE_PALLAS_LOCAL_TOPK = False
+
+
 def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
     """Trace-time strategy pick for the shard-local search (see ops/topk.py:
     one-shot is much faster whenever the [Q, shard] block fits). `n_valid`
     masks this shard's pad rows BEFORE selection — a pad row's 0-vector can
     outscore real rows (negative cosines; l2 distance to the origin)."""
+    if (
+        USE_PALLAS_LOCAL_TOPK
+        and k > 32
+        and db_shard.shape[1] % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.exact_pallas import exact_pallas_topk_traced
+
+        return exact_pallas_topk_traced(
+            db_shard, q, k, metric=metric, n_valid=n_valid,
+            exact=not approx,
+            highest_precision=db_shard.dtype == jnp.float32,
+        )
     if q.shape[0] * db_shard.shape[0] * 4 <= ONESHOT_SIM_BYTES:
         return oneshot_topk(
             db_shard, q, k, metric=metric, approx=approx, n_valid=n_valid

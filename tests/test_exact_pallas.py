@@ -109,3 +109,62 @@ def test_certificate_not_suspect_on_spread_data():
         db, q, 64, 8, "ip", 512, 8, True, True
     )
     assert not np.asarray(suspect).any()
+
+
+def test_traced_variant_matches_topk_with_n_valid():
+    """exact_pallas_topk_traced under jit with a TRACED n_valid must equal
+    lax.top_k over the valid prefix (the shard_map contract)."""
+    import jax
+
+    from knn_for_homology_tpu.ops.exact_pallas import exact_pallas_topk_traced
+
+    rng = np.random.RandomState(3)
+    n, d, k = 640, 128, 40
+    db = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(16, d).astype(np.float32)
+
+    @jax.jit
+    def run(db, q, n_valid):
+        return exact_pallas_topk_traced(
+            jnp.asarray(db), jnp.asarray(q), k, metric="ip",
+            n_valid=n_valid, interpret=True, highest_precision=True,
+        )
+
+    n_valid = jnp.int32(500)
+    vals, ids = run(db, q, n_valid)
+    sims = q @ db[:500].T
+    want_v, want_i = jax.lax.top_k(jnp.asarray(sims), k)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
+
+
+def test_traced_variant_certificate_fallback_fires():
+    """An adversarial row whose top-k all share one segment (ids ≡ 0 mod
+    tile) must still come back exact — the in-jit lax.cond streaming
+    fallback handles what the host-side path fixes with row recompute."""
+    import jax
+
+    from knn_for_homology_tpu.ops.exact_pallas import exact_pallas_topk_traced
+
+    rng = np.random.RandomState(4)
+    n, d, k, tile = 10240, 128, 10, 1024
+    db = rng.randn(n, d).astype(np.float32) * 0.01
+    probe = rng.randn(d).astype(np.float32)
+    probe /= np.linalg.norm(probe)
+    # 10 planted winners, ALL in segment 0 (> R=8 slots): ids 0,1024,...
+    for rank, row in enumerate(range(0, n, tile)):
+        db[row] = probe * (20.0 - rank)
+    q = probe[None, :].repeat(8, axis=0)
+
+    vals, ids = jax.jit(
+        lambda db, q: exact_pallas_topk_traced(
+            db, q, k, metric="ip", db_tile=tile, interpret=True,
+            highest_precision=True,
+        )
+    )(jnp.asarray(db), jnp.asarray(q))
+    sims = q @ db.T
+    want_v, want_i = jax.lax.top_k(jnp.asarray(sims), k)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(want_v), rtol=1e-6
+    )
