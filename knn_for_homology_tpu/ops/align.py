@@ -92,7 +92,6 @@ def sw_scores(
     t_codes: jnp.ndarray,  # [B, Lt] int32, -1 padding
 ) -> jnp.ndarray:
     """Local-alignment scores [B] for each (query, target) pair."""
-    blosum_flat = jnp.asarray(BLOSUM62.ravel())
     n_aa = BLOSUM62.shape[0]
     b, lq = q_codes.shape
     lt = t_codes.shape[1]
@@ -101,12 +100,28 @@ def sw_scores(
     t_safe = jnp.clip(t_t, 0, n_aa - 1)
     t_pad = t_t < 0
     j_idx = jnp.arange(lt, dtype=jnp.float32)[:, None]
+    # per-pair positional score profile, built once with one-hot matmuls
+    # instead of per-step element gathers (a [Lt, B] table gather per scan
+    # step was the row loop's entire budget on TPU — gathers lower to
+    # serial dynamic-slices; one-hot contractions ride the MXU):
+    # profile[j, b, a] = BLOSUM62[t_codes[b, j], a]
+    onehot_t = jax.nn.one_hot(t_safe, n_aa, dtype=jnp.float32)  # [Lt,B,A]
+    profile = jnp.einsum(
+        "jba,ac->jbc", onehot_t, jnp.asarray(BLOSUM62, jnp.float32)
+    )  # [Lt, B, A]
 
     def row_step(carry, qi):
         h_prev, f_prev, best = carry  # [Lt, B], [Lt, B], [B]
-        # substitution scores of this query residue against every target pos
+        # substitution scores of this query residue against every target
+        # position: one [Lt, B, A] × [B, A] batched contraction
         qi_safe = jnp.clip(qi, 0, n_aa - 1)
-        sub = jnp.take(blosum_flat, qi_safe[None, :] * n_aa + t_safe)
+        onehot_q = jax.nn.one_hot(qi_safe, n_aa, dtype=jnp.float32)  # [B,A]
+        sub = jax.lax.dot_general(
+            profile, onehot_q,
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # batch b: [B, Lt] -> transpose to [Lt, B]
+        sub = jnp.swapaxes(sub, 0, 1)
         sub = jnp.where(t_pad | (qi < 0)[None, :], NEG, sub)
         diag = jnp.pad(h_prev[:-1], ((1, 0), (0, 0)))
         # vertical gap (gap in target / deletion): depends on previous row;
