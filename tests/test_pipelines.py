@@ -356,16 +356,29 @@ def test_pfam_proteins_run_with_merge_and_figures(tmp_path):
         mm_evs.append(np.asarray([1e-30, 1e-20]))
     # kNN "alignment" E-values aligned with each hits row (rank-increasing)
     knn_evs = [np.arange(12, dtype=np.float64) * 1e-3 + 1e-8 for _ in range(n)]
+    lengths = rng.randint(50, 1200, n)
     metrics = pfam_proteins.run(
         npy, ids, p2d, index_mode="flat", k=12,
         mmseqs_results={"hits": mm_hits, "e_values": mm_evs},
         knn_e_values=knn_evs,
         figures_dir=tmp_path / "figs",
+        sequence_lengths=lengths,
     )
     assert metrics["auc1"] > 0.9
     assert metrics["merged_auc1"] >= metrics["auc1"] - 0.05
     assert (tmp_path / "figs" / "cosine_bucketed_accuracy-data.npz").exists()
     assert (tmp_path / "figs" / "accuracy_over_hits-data.npz").exists()
+    # the rendered full-protein endfig families (VERDICT r1 #5)
+    for fam in [
+        "cosine_bucketed_accuracy",
+        "accuracy_over_hits",
+        "auc1",
+        "precision_recall_curve",
+        "protein_length_vs_auc1",
+        "length_bucketed_auc1",
+    ]:
+        for suffix in (".svg", ".jpg", ".eps", ".npz"):
+            assert (tmp_path / "figs" / f"{fam}{suffix}").exists(), fam + suffix
 
 
 def test_merged_coverage_curve():
