@@ -45,9 +45,11 @@ class T5Config:
     # use the fused Pallas flash kernel (ops/flash_attention.py) for the
     # blockwise path instead of the XLA scan formulation. Measured on v5e
     # (2-layer XL-geometry encoder forward, bf16): 1.65x faster at L=2048,
-    # 2.98x at L=4096, 4.04x at L=8192 — default ON for TPU; the XLA scan
-    # remains the CPU/test path (scripts/bench_flash.py)
-    use_flash_kernel: bool = True
+    # 2.98x at L=4096, 4.04x at L=8192 (scripts/bench_flash.py).
+    # "auto" resolves at encode time: flash on TPU, XLA scan elsewhere
+    # (interpret-mode Pallas on CPU would run the kernel in Python);
+    # True/False force it either way (tests force True).
+    use_flash_kernel: Any = "auto"  # "auto" | True | False
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
@@ -278,7 +280,12 @@ def encode(
         if blockwise:
             attn_params = dict(layer["attn"])
             attn_params["rel_embedding"] = params["rel_embedding"]
-            if config.use_flash_kernel:
+            use_flash = (
+                jax.default_backend() == "tpu"
+                if config.use_flash_kernel == "auto"
+                else bool(config.use_flash_kernel)
+            )
+            if use_flash:
                 x = _attention_flash(x, attn_params, mask, config)
             else:
                 x = _attention_blockwise(x, attn_params, mask, config)

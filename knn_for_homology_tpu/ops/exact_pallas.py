@@ -191,6 +191,46 @@ def _candidates_and_topk(
     return vals, ids, suspect
 
 
+def _plan(
+    n: int, d: int, k_eff: int, db_tile: int, query_block: int,
+    r_slots: int, exact: bool, recall_target: float, itemsize: int,
+):
+    """Shared kernel sizing for the host and traced variants (they MUST
+    pick identical shapes: the 13 MB VMEM budget and the exactness
+    headroom are correctness-relevant). Returns
+    (db_tile, query_block, r_slots, max_block)."""
+    db_tile = min(db_tile, max(128, _round_up(n, 128)))
+    if not exact:
+        r_slots = r_for_recall(k_eff, db_tile, recall_target)
+    # r_slots * db_tile candidates must cover k with headroom, and the
+    # striding argument (id runs <= W hit each segment <= ceil(k/W)+1
+    # times) needs W ~ k; tiny-n tests shrink the tile, so grow R to fit.
+    while r_slots * db_tile < (
+        max(2 * k_eff, k_eff + db_tile) if exact else k_eff
+    ):
+        r_slots *= 2
+    # VMEM: the two output blocks hold the running state (QB * R*T * 8 B,
+    # double-buffered across query blocks) + db tile (double-buffered) +
+    # q block + the sims tile. Scoped VMEM is 16 MB; leave margin.
+    while (
+        query_block > 8
+        and (
+            2 * 2 * r_slots * query_block * db_tile * 4
+            + 2 * db_tile * d * itemsize
+            + query_block * d * itemsize
+            + query_block * db_tile * 4
+        )
+        > 13 * 1024 * 1024
+    ):
+        query_block //= 2
+    # The [QB, r*T] candidate buffer is the only O(Q) HBM cost — block the
+    # queries so it stays bounded regardless of Q.
+    max_block = max(
+        query_block, (256 << 20) // (r_slots * db_tile * 8) // 8 * 8 or 8
+    )
+    return db_tile, query_block, r_slots, max_block
+
+
 def r_for_recall(k: int, db_tile: int, recall_target: float) -> int:
     """Smallest per-segment slot count R whose expected element loss meets
     the recall target. Top-k elements land in segments ~Poisson(λ = k/W);
@@ -245,25 +285,23 @@ def exact_pallas_topk(
         highest_precision = db.dtype == jnp.float32
     k_eff = min(k, n)
 
-    db_tile = min(db_tile, max(128, _round_up(n, 128)))
-    if not exact:
-        # approx mode (the TPU-KNN recall-target regime): R sized by the
-        # Poisson loss bound instead of the exactness certificate — a
-        # narrower candidate buffer makes the epilogue sort (the dominant
-        # cost at R=8) proportionally cheaper
-        r_slots = r_for_recall(k_eff, db_tile, recall_target)
-    # r_slots * db_tile candidates must cover k with headroom, and the
-    # striding argument (id runs <= W hit each segment <= ceil(k/W)+1
-    # times) needs W ~ k; tiny-n tests shrink the tile, so grow R to fit.
-    while r_slots * db_tile < (
-        max(2 * k_eff, k_eff + db_tile) if exact else k_eff
+    # under a jit/shard_map trace the host-side certificate handling
+    # (np.asarray on `suspect`) cannot run — transparently defer to the
+    # fully-traceable variant (identical kernel shapes via the shared
+    # _plan; its fallback is a lax.cond)
+    if isinstance(db, jax.core.Tracer) or isinstance(
+        queries, jax.core.Tracer
     ):
-        r_slots *= 2
+        return exact_pallas_topk_traced(
+            db, queries, k, metric=metric, db_tile=db_tile,
+            query_block=query_block, r_slots=r_slots, interpret=interpret,
+            highest_precision=highest_precision, exact=exact,
+            recall_target=recall_target,
+        )
 
-    # The [QB, r*T] candidate buffer is the only O(Q) HBM cost — block the
-    # queries so it stays bounded regardless of Q.
-    max_block = max(
-        query_block, (256 << 20) // (r_slots * db_tile * 8) // 8 * 8 or 8
+    db_tile, query_block, r_slots, max_block = _plan(
+        n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
+        db.dtype.itemsize,
     )
     if q_n > max_block:
         outs = [
@@ -279,22 +317,6 @@ def exact_pallas_topk(
             jnp.concatenate([v for v, _ in outs], axis=0),
             jnp.concatenate([i for _, i in outs], axis=0),
         )
-    # VMEM: the two output blocks hold the running state (QB * R*T * 8 B,
-    # double-buffered across query blocks) + db tile (double-buffered) +
-    # q block + the sims tile. Scoped VMEM is 16 MB; leave margin.
-    itemsize = db.dtype.itemsize
-    while (
-        query_block > 8
-        and (
-            2 * 2 * r_slots * query_block * db_tile * 4
-            + 2 * db_tile * d * itemsize
-            + query_block * d * itemsize
-            + query_block * db_tile * 4
-        )
-        > 13 * 1024 * 1024
-    ):
-        query_block //= 2
-
     vals, ids, suspect = _candidates_and_topk(
         db, queries, k_eff, r_slots, metric, db_tile, query_block,
         interpret, highest_precision,
@@ -335,8 +357,8 @@ def exact_pallas_topk_traced(
     db_tile: int = 1024,
     query_block: int = 64,
     r_slots: int = DEFAULT_R,
-    interpret: bool = False,
-    highest_precision: bool = False,
+    interpret: bool = None,
+    highest_precision: bool = None,
     exact: bool = True,
     recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -353,30 +375,18 @@ def exact_pallas_topk_traced(
     n, d = db.shape
     q_n = queries.shape[0]
     k_eff = min(k, n)
-    db_tile = min(db_tile, max(128, _round_up(n, 128)))
-    if not exact:
-        r_slots = r_for_recall(k_eff, db_tile, recall_target)
-    while r_slots * db_tile < (
-        max(2 * k_eff, k_eff + db_tile) if exact else k_eff
-    ):
-        r_slots *= 2
-    itemsize = db.dtype.itemsize
-    while (
-        query_block > 8
-        and (
-            2 * 2 * r_slots * query_block * db_tile * 4
-            + 2 * db_tile * d * itemsize
-            + query_block * d * itemsize
-            + query_block * db_tile * 4
-        )
-        > 13 * 1024 * 1024
-    ):
-        query_block //= 2
-    # bound the [QB, R*T] candidate buffer by blocking queries (unrolled in
-    # the trace: Q is static)
-    max_block = max(
-        query_block, (256 << 20) // (r_slots * db_tile * 8) // 8 * 8 or 8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if highest_precision is None:
+        # parity with the host variant: fp32 inputs default to HIGHEST
+        # (bf16-truncated matmuls swap near-tie neighbours, CLAUDE.md)
+        highest_precision = db.dtype == jnp.float32
+    db_tile, query_block, r_slots, max_block = _plan(
+        n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
+        db.dtype.itemsize,
     )
+    # the [QB, R*T] candidate buffer is bounded by blocking queries
+    # (unrolled in the trace: Q is static)
     vals_out, ids_out = [], []
     for s in range(0, q_n, max_block):
         q_blk = queries[s : s + max_block]

@@ -67,6 +67,12 @@ def pack_neighbours(
     zeros and their scales 1.0."""
     n, d = db.shape
     degree = graph.shape[1]
+    if deg_p > LANE:
+        raise ValueError(
+            f"packed adjacency supports degree <= {LANE} (got {degree}: "
+            f"ids/scales are one {LANE}-lane row per node) — use the XLA "
+            "beam path (GraphIndex(packed='never'))"
+        )
     q8, scales = quantize_int8(db)
     pad_ids = jnp.full((n, deg_p - degree), -1, jnp.int32)
     ids_p = jnp.concatenate([graph.astype(jnp.int32), pad_ids], axis=1)

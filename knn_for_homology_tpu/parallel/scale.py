@@ -297,18 +297,14 @@ class ShardedGraphIndex:
             n_local = jnp.clip(n - shard_idx * rows, 0, rows)
             if n_piv > 0:
                 # per-query entries from this shard's dense pivot routing
-                p_vecs = db_s[0][pivots].astype(jnp.bfloat16)
-                p_sims = jnp.einsum(
-                    "pd,qd->qp", p_vecs, q_rep.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
+                # (search/graph.py:_seed_entries, with the shard's pad rows
+                # masked via n_valid)
+                from ..search.graph import _seed_entries
+
+                entries = _seed_entries(
+                    db_s[0].astype(jnp.bfloat16), pivots, q_rep,
+                    self.n_entry, search_metric, n_valid=n_local,
                 )
-                p_sims = jnp.where(
-                    (pivots < n_local)[None, :], p_sims, -jnp.inf
-                )
-                _, p_sel = jax.lax.top_k(
-                    p_sims, min(self.n_entry, pivots.shape[0])
-                )
-                entries = pivots[p_sel]
             else:
                 entries = entry
             sims, ids = beam_search(

@@ -164,8 +164,10 @@ def run(
                             "MMseqs2 E<1 + k-nn": _cov(
                                 comb_correct, comb_key
                             ),
+                            # cosine is higher-is-better: negate so the
+                            # annotation order is best-first like the others
                             "k-nn": _cov(
-                                knn_correct[:, 0], knn_scores[:, 0]
+                                knn_correct[:, 0], -knn_scores[:, 0]
                             ),
                         },
                         ylabel="Accuracy of annotated queries",
@@ -223,8 +225,13 @@ def run(
 
                 # precision-recall over pooled (query, hit) pairs for the
                 # three methods at both rank limits (pfam/pfam.py:561-598)
+                # — figure-only data: six O(Q·k log) sorts, skip when no
+                # figures_dir (metric-only runs)
                 pr_raw = {}
-                for limit_name, limit in [("first_10", 10), ("300", 300)]:
+                for limit_name, limit in (
+                    [("first_10", 10), ("300", 300)]
+                    if figures_dir is not None else []
+                ):
                     for label, scores_m, correct_m, hib in [
                         ("mmseqs", ev_arr, mm_correct, False),
                         ("knn", knn_scores, knn_correct, True),

@@ -397,11 +397,12 @@ def nn_descent_build(
 
 
 @functools.partial(jax.jit, static_argnames=("n_entry", "metric"))
-def _seed_entries(db_t, pivot_ids, queries, n_entry, metric):
+def _seed_entries(db_t, pivot_ids, queries, n_entry, metric, n_valid=None):
     """Per-query entry points: score queries against a strided pivot sample
     exactly once (one skinny matmul) and start the beam at the best
     `n_entry` pivots — far better starts than shared strided entries, which
-    cuts the iteration budget needed for a given recall."""
+    cuts the iteration budget needed for a given recall. `n_valid` (traced
+    ok) excludes pad-row pivots (shard_map callers)."""
     p_vecs = db_t[pivot_ids]
     s = jnp.einsum(
         "pd,qd->qp", p_vecs, queries.astype(db_t.dtype),
@@ -410,6 +411,8 @@ def _seed_entries(db_t, pivot_ids, queries, n_entry, metric):
     if metric == "l2":
         v_sq = jnp.sum(jnp.square(p_vecs.astype(jnp.float32)), axis=-1)
         s = 2.0 * s - v_sq[None, :]
+    if n_valid is not None:
+        s = jnp.where((pivot_ids < n_valid)[None, :], s, -jnp.inf)
     _, sel = jax.lax.top_k(s, min(n_entry, pivot_ids.shape[0]))
     return pivot_ids[sel]
 
@@ -468,6 +471,8 @@ class GraphIndex:
     def _use_packed(self) -> bool:
         if self.packed == "never" or self.metric == "l2":
             return False  # packed scoring is ip/cosine only
+        if self._graph is not None and self._graph.shape[1] > 128:
+            return False  # packed ids/scales are one 128-lane row per node
         if self.packed == "always":
             return True
         from ..ops.graph_pallas import pad_degree

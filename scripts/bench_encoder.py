@@ -30,23 +30,23 @@ def main():
     # takes ~13 minutes and measures nothing
     shapes = jax.eval_shape(lambda: t5.init_params(config, seed=0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
-
-    @jax.jit
-    def init_on_device():
-        vals = [
-            jax.random.normal(k, l.shape, jnp.float32).astype(l.dtype) * 0.02
-            for k, l in zip(keys, leaves)
-        ]
-        return jax.tree_util.tree_unflatten(treedef, vals)
-
-    params = init_on_device()
+    key = jax.random.PRNGKey(0)
+    vals = []
+    for i, l in enumerate(leaves):  # eager per-leaf device init
+        vals.append(
+            (jax.random.normal(
+                jax.random.fold_in(key, i), l.shape, jnp.float32
+            ) * 0.02).astype(l.dtype)
+        )
+    params = jax.tree_util.tree_unflatten(treedef, vals)
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e9:.2f}B (device init)", flush=True)
 
+    # params as ARGUMENTS: a jit closure would bake 2.4 GB of constants
+    # into the HLO and blow the compile relay's request limit (HTTP 413)
     @jax.jit
-    def fwd(ids, mask):
+    def fwd(params, ids, mask):
         return t5.encode(params, ids, mask, config)
 
     for b, l in [(8, 1024), (16, 1024), (32, 1024), (16, 512), (64, 512),
@@ -55,11 +55,12 @@ def main():
         ids = jnp.asarray(rng.randint(3, 25, (b, l)).astype(np.int32))
         mask = jnp.ones((b, l), bool)
         try:
-            out = fwd(ids, mask)
-            jax.block_until_ready(out)
+            # scalar host fetch per rep: through the axon relay,
+            # block_until_ready alone returns before work completes
+            float(jnp.sum(fwd(params, ids, mask)))
             t0 = time.perf_counter()
             for _ in range(3):
-                jax.block_until_ready(fwd(ids, mask))
+                float(jnp.sum(fwd(params, ids, mask)))
             dt = (time.perf_counter() - t0) / 3
             tput = b * l / dt
             print(
