@@ -168,3 +168,31 @@ def test_traced_variant_certificate_fallback_fires():
     np.testing.assert_allclose(
         np.asarray(vals), np.asarray(want_v), rtol=1e-6
     )
+
+
+def test_flat_topk_traceable_under_jit():
+    """flat_topk must stay jit-wrappable on every backend: the TPU route's
+    host-side certificate handling defers to the traceable variant under a
+    trace (review r2: np.asarray(suspect) raised TracerArrayConversionError
+    for jit callers)."""
+    import jax
+
+    from knn_for_homology_tpu.ops.exact_pallas import exact_pallas_topk
+
+    rng = np.random.RandomState(6)
+    db = rng.randn(512, 128).astype(np.float32)
+    q = rng.randn(8, 128).astype(np.float32)
+
+    @jax.jit
+    def run(db, q):
+        # call the pallas engine directly (flat_topk only routes here on a
+        # TPU backend; the dispatch-under-trace is what's under test)
+        return exact_pallas_topk(
+            jnp.asarray(db), jnp.asarray(q), 40, metric="ip",
+            interpret=True, highest_precision=True,
+        )
+
+    vals, ids = run(db, q)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(q @ db.T), 40)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
