@@ -473,6 +473,8 @@ class GraphIndex:
             return False  # packed scoring is ip/cosine only
         if self._graph is not None and self._graph.shape[1] > 128:
             return False  # packed ids/scales are one 128-lane row per node
+        if self._db is not None and self._db.shape[1] % 128 != 0:
+            return False  # slab DMA slices must be lane-aligned (Mosaic)
         if self.packed == "always":
             return True
         from ..ops.graph_pallas import pad_degree
