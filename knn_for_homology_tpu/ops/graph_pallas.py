@@ -62,11 +62,15 @@ def pack_neighbours(
     graph: jnp.ndarray,  # [N, degree] int32
     deg_p: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Build (packed_vecs [N*deg_p, d] int8, packed_ids [N, 128] int32,
-    packed_scales [N, 128] f32). Padding ids are -1; their vector rows are
-    zeros and their scales 1.0."""
+    """Build (packed_vecs [G*deg_p, d] int8, packed_ids [G, 128] int32,
+    packed_scales [G, 128] f32). Padding ids are -1; their vector rows are
+    zeros and their scales 1.0.
+
+    `graph` has one row per slab GROUP — the db adjacency for the graph
+    engine (G == N), or any other db-row grouping (the IVF engine passes
+    cluster membership lists, G == n_clusters, search/ivf.py)."""
     n, d = db.shape
-    degree = graph.shape[1]
+    groups, degree = graph.shape
     if deg_p > LANE:
         raise ValueError(
             f"packed adjacency supports degree <= {LANE} (got {degree}: "
@@ -74,25 +78,44 @@ def pack_neighbours(
             "beam path (GraphIndex(packed='never'))"
         )
     q8, scales = quantize_int8(db)
-    pad_ids = jnp.full((n, deg_p - degree), -1, jnp.int32)
+    pad_ids = jnp.full((groups, deg_p - degree), -1, jnp.int32)
     ids_p = jnp.concatenate([graph.astype(jnp.int32), pad_ids], axis=1)
     safe = jnp.clip(ids_p, 0, n - 1)
-    vecs = q8[safe.reshape(-1)]  # [N*deg_p, d] int8 (one-time XLA gather)
+    vecs = q8[safe.reshape(-1)]  # [G*deg_p, d] int8 (one-time XLA gather)
     vecs = jnp.where((ids_p.reshape(-1) >= 0)[:, None], vecs, 0)
     # per-neighbour dequant scales, padded with 1.0 (pad score lanes are
     # -inf; 0.0 would turn them into NaN in the kernel's multiply)
     sc = jnp.where(ids_p >= 0, scales[safe], 1.0)
     if deg_p < LANE:
         ids_out = jnp.concatenate(
-            [ids_p, jnp.full((n, LANE - deg_p), -1, jnp.int32)], axis=1
+            [ids_p, jnp.full((groups, LANE - deg_p), -1, jnp.int32)], axis=1
         )
         sc_out = jnp.concatenate(
-            [sc, jnp.ones((n, LANE - deg_p), jnp.float32)], axis=1
+            [sc, jnp.ones((groups, LANE - deg_p), jnp.float32)], axis=1
         )
     else:
         ids_out = ids_p[:, :LANE]
         sc_out = sc[:, :LANE]
     return vecs, ids_out, sc_out
+
+
+def _score_epilogue(slab, qv, scale, adj, sims_ref, nbr_ref, *, e, deg_p):
+    """Shared scoring tail of BOTH expansion kernels (auto-pipelined and
+    manual-DMA): dequant-dot the [e*deg_p, d] int8 slab against the query,
+    pad lanes >= deg_p with -inf, apply per-neighbour scales, emit
+    [1, e, 128] sims + adjacency. Keeping this shared means the
+    production DMA kernel and the CI-testable interpret kernel cannot
+    drift in their scoring math (only their data movement differs)."""
+    s = jax.lax.dot_general(
+        slab.astype(jnp.float32), qv.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(1, e, deg_p)
+    if deg_p < LANE:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, LANE - deg_p)),
+                    constant_values=-jnp.inf)
+    sims_ref[...] = s * scale
+    nbr_ref[...] = adj
 
 
 def _expand_kernel(ids_ref, q_ref, *refs, e, deg_p):
@@ -108,22 +131,12 @@ def _expand_kernel(ids_ref, q_ref, *refs, e, deg_p):
     adjs = refs[e : 2 * e]
     scs = refs[2 * e : 3 * e]
     sims_ref, nbr_ref = refs[3 * e], refs[3 * e + 1]
-    slab = jnp.concatenate(
-        [s[...] for s in slabs], axis=0
-    ).astype(jnp.float32)  # [e*deg_p, d]
-    q = q_ref[0].astype(jnp.float32)  # [1, d]
-    s = jax.lax.dot_general(
-        slab, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [e*deg_p, 1]
-    s = s.reshape(1, e, deg_p)
-    if deg_p < LANE:
-        s = jnp.pad(s, ((0, 0), (0, 0), (0, LANE - deg_p)),
-                    constant_values=-jnp.inf)
+    slab = jnp.concatenate([s[...] for s in slabs], axis=0)  # [e*deg_p, d]
     scale = jnp.concatenate([sc[...] for sc in scs], axis=1)  # [1, e, LANE]
-    sims_ref[...] = s * scale
-    nbr_ref[...] = jnp.concatenate([a[...] for a in adjs], axis=1)
+    adj = jnp.concatenate([a[...] for a in adjs], axis=1)
+    _score_epilogue(
+        slab, q_ref[0], scale, adj, sims_ref, nbr_ref, e=e, deg_p=deg_p
+    )
 
 
 def _expand_kernel_dma(
@@ -169,18 +182,16 @@ def _expand_kernel_dma(
     slot = q % 2
     for dma in copies(slot, q):
         dma.wait()
-    slab = slab_buf[slot].astype(jnp.float32)  # [e*deg_p, d]
-    qv = q_ref[0].astype(jnp.float32)  # [1, d]
-    s = jax.lax.dot_general(
-        slab, qv,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(1, e, deg_p)
-    if deg_p < LANE:
-        s = jnp.pad(s, ((0, 0), (0, 0), (0, LANE - deg_p)),
-                    constant_values=-jnp.inf)
-    sims_ref[...] = s * sc_buf[slot].reshape(1, e, LANE)
-    nbr_ref[...] = adj_buf[slot].reshape(1, e, LANE)
+    _score_epilogue(
+        slab_buf[slot],  # [e*deg_p, d]
+        q_ref[0],
+        sc_buf[slot].reshape(1, e, LANE),
+        adj_buf[slot].reshape(1, e, LANE),
+        sims_ref,
+        nbr_ref,
+        e=e,
+        deg_p=deg_p,
+    )
 
 
 def _beam_expand_dma(

@@ -301,8 +301,10 @@ class ShardedGraphIndex:
                 # masked via n_valid)
                 from ..search.graph import _seed_entries
 
+                # fp32 shard passed as-is; _seed_entries casts the gathered
+                # pivot rows only (keeps the transient at n_pivots*d)
                 entries = _seed_entries(
-                    db_s[0].astype(jnp.bfloat16), pivots, q_rep,
+                    db_s[0], pivots, q_rep,
                     self.n_entry, search_metric, n_valid=n_local,
                 )
             else:

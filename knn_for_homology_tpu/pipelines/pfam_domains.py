@@ -154,8 +154,15 @@ def run(
                     comb_correct = np.where(
                         top_e < e_cut, mm_correct[:, 0], knn_correct[:, 0]
                     )
+                    # one comparable confidence scale for the interleave
+                    # (reference pfam.py:207-227 keys both methods on a
+                    # shared -E / -score axis; its knn scores are distances,
+                    # ours are cosines): E-1 maps mmseqs E<1 keys onto
+                    # [-1, 0) and -cos maps knn onto [-1, 1], so confident
+                    # hits of BOTH methods interleave near -1 instead of
+                    # every knn-annotated query outranking every mmseqs hit
                     comb_key = np.where(
-                        top_e < e_cut, top_e, -knn_scores[:, 0]
+                        top_e < e_cut, top_e - 1.0, -knn_scores[:, 0]
                     )
                     R.figure_coverage_vs_accuracy(
                         figures_dir,

@@ -19,6 +19,7 @@ from ..eval import analysis
 from ..search.flat import FlatIndex
 from ..search.graph import GraphIndex
 from ..search.io import read_index, write_index
+from ..search.ivf import IVFIndex
 from ..search.lsh import LSHIndex
 
 logger = logging.getLogger(__name__)
@@ -31,8 +32,10 @@ def build_and_search(
     k: int = 1000,
 ) -> Dict:
     """Index build + all-vs-all search, with persistence + size report
-    (reference: pfam/proteins_search.py:11-57). index_mode: flat|lsh|graph
-    (graph is the HNSW-class index, M=42/ef=256 equivalents)."""
+    (reference: pfam/proteins_search.py:11-57). index_mode:
+    flat|lsh|graph|ivf (graph: beam-search ANN with M=42/ef=256
+    equivalents; ivf: the TPU-native sub-linear HNSW-class index —
+    contiguous int8 cluster slabs, search/ivf.py)."""
     embeddings = np.asarray(embeddings, dtype=np.float32)
     start = time.time()
     if index_file is not None and Path(index_file).exists():
@@ -47,6 +50,8 @@ def build_and_search(
             index = GraphIndex(
                 metric="cosine", degree=42, beam_width=256
             ).add(embeddings)
+        elif index_mode == "ivf":
+            index = IVFIndex(metric="cosine", nprobe=32).add(embeddings)
         else:
             raise ValueError(index_mode)
         build_seconds = time.time() - start
@@ -147,8 +152,13 @@ def run(
             sem=np.asarray(calib["sem"]),
         )
         # accuracy-over-hits: mean fraction of each query's homologs found
-        # by rank r (reference: proteins.py:502-519 make_accuracy_over_hit)
-        totals = np.maximum(correct.sum(axis=1), 1)[:, None]
+        # by rank r (reference: proteins.py:502-519 make_accuracy_over_hit).
+        # Denominator = the query's TOTAL homolog count (reference
+        # proteins.py:194-198,506), not homologs within retrieved hits —
+        # dividing by correct.sum would force every curve to 1.0 at last rank
+        totals = np.asarray(
+            [max(len(homologous.get(q, ())), 1) for q in full_sequences_ids]
+        )[:, None]
         over_hits = (correct.cumsum(axis=1) / totals).mean(axis=0)
         save_raw(
             figures_dir,
@@ -241,8 +251,9 @@ def main(argv=None):
     configure_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "index_mode", choices=["flat", "lsh", "graph", "hnsw"],
-        help="'hnsw' is an alias for the graph ANN index",
+        "index_mode", choices=["flat", "lsh", "graph", "hnsw", "ivf"],
+        help="'hnsw' is an alias for the graph ANN index; 'ivf' is the"
+        " TPU-native sub-linear index (int8 cluster slabs)",
     )
     parser.add_argument("--data", type=Path, default=Path("."))
     parser.add_argument("--npy", default="full_sequences.npy")

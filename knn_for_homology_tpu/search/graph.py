@@ -404,6 +404,11 @@ def _seed_entries(db_t, pivot_ids, queries, n_entry, metric, n_valid=None):
     cuts the iteration budget needed for a given recall. `n_valid` (traced
     ok) excludes pad-row pivots (shard_map callers)."""
     p_vecs = db_t[pivot_ids]
+    if p_vecs.dtype == jnp.float32:
+        # cast AFTER the gather: fp32 callers (sharded scale path) would
+        # otherwise materialise a full rows*d*2-byte bf16 shard transient
+        # just to read n_pivots rows
+        p_vecs = p_vecs.astype(jnp.bfloat16)
     s = jnp.einsum(
         "pd,qd->qp", p_vecs, queries.astype(db_t.dtype),
         preferred_element_type=jnp.float32,
@@ -469,12 +474,25 @@ class GraphIndex:
     PACKED_MAX_BYTES = 10 * 1024**3
 
     def _use_packed(self) -> bool:
-        if self.packed == "never" or self.metric == "l2":
-            return False  # packed scoring is ip/cosine only
-        if self._graph is not None and self._graph.shape[1] > 128:
-            return False  # packed ids/scales are one 128-lane row per node
-        if self._db is not None and self._db.shape[1] % 128 != 0:
-            return False  # slab DMA slices must be lane-aligned (Mosaic)
+        # structural preconditions; an explicit packed="always" request that
+        # cannot be honoured raises instead of silently degrading (silent
+        # fallback masks large perf regressions)
+        reason = None
+        if self.metric == "l2":
+            reason = "packed scoring is ip/cosine only"
+        elif self._graph is not None and self._graph.shape[1] > 128:
+            reason = "packed ids/scales are one 128-lane row per node"
+        elif self._db is not None and self._db.shape[1] % 128 != 0:
+            reason = "slab DMA slices must be lane-aligned (Mosaic)"
+        if self.packed == "never" or reason is not None:
+            if self.packed == "always" and reason is not None:
+                raise ValueError(
+                    f"packed='always' cannot be honoured: {reason} "
+                    f"(degree={self._graph.shape[1] if self._graph is not None else self.degree}, "
+                    f"d={self._db.shape[1] if self._db is not None else '?'}, "
+                    f"metric={self.metric})"
+                )
+            return False
         if self.packed == "always":
             return True
         from ..ops.graph_pallas import pad_degree

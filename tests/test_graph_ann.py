@@ -158,3 +158,43 @@ def test_beam_expand_kernel_oracle():
     )
     # a -1 adjacency hole scores exactly 0 (zero slab), never -inf leakage
     assert np.isfinite(np.asarray(sims)[:, :, :deg_p]).all()
+
+
+def test_beam_expand_dma_kernel_parity_on_tpu():
+    """The production manual-DMA expansion kernel vs the numpy oracle.
+
+    Interpret mode routes to the separate auto-pipelined kernel, so without
+    this test the kernel that actually runs on hardware is never exercised
+    by the suite (the scoring epilogue is shared — _score_epilogue — but the
+    DMA data movement is not). Skipped on the CPU mesh; run on a TPU via
+    `pytest tests/test_graph_ann.py -k dma` with JAX_PLATFORMS unset."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("manual-DMA kernel requires a real TPU")
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops import graph_pallas as gp
+
+    rng = np.random.RandomState(3)
+    n_nodes, d, deg, e, q_n = 128, 256, 30, 4, 8
+    db = rng.randn(n_nodes, d).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    graph = rng.randint(0, n_nodes, (n_nodes, deg)).astype(np.int32)
+    graph[::5, -3:] = -1
+    deg_p = gp.pad_degree(deg)
+    pv, pi, sc = gp.pack_neighbours(jnp.asarray(db), jnp.asarray(graph), deg_p)
+    sel = rng.randint(0, n_nodes, (q_n, e)).astype(np.int32)
+    queries = rng.randn(q_n, d).astype(np.float32)
+    sims, nbrs = gp._beam_expand_dma(
+        jnp.asarray(sel), jnp.asarray(queries), pv, pi, sc, deg_p
+    )
+    ref_s, ref_n = gp.beam_expand_reference(
+        sel, queries, np.asarray(pv), np.asarray(pi), np.asarray(sc), deg_p
+    )
+    np.testing.assert_array_equal(np.asarray(nbrs), ref_n)
+    np.testing.assert_allclose(
+        np.asarray(sims)[:, :, :deg_p], ref_s[:, :, :deg_p], atol=1e-4
+    )
