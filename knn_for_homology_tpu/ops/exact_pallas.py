@@ -50,6 +50,46 @@ NEG_INF = float(-jnp.inf)
 # flags a row iff some segment holds >= R of its top-k (then we fall back).
 DEFAULT_R = 8
 
+# numpy scalars (not jnp): Pallas kernel bodies may not close over device
+# arrays, only literals
+INT32_MIN = np.int32(-(2**31))
+
+
+def _ordered_int(u: jnp.ndarray) -> jnp.ndarray:
+    """Monotone float32-bits -> int32 map (involution): the int32 ordering
+    of the result equals the float ordering of the input bits. Positive
+    floats map to themselves; negatives get their magnitude bits flipped so
+    more-negative sorts lower."""
+    return u ^ (
+        jax.lax.shift_right_arithmetic(u, 31) & np.int32(0x7FFFFFFF)
+    )
+
+
+def _tile_sims(q, db, j, nv_ref, *, metric, n_db, precision):
+    """Shared hot-path head of both segment kernels: MXU distance tile +
+    pad/validity masking. Returns (sims [qb, tile] f32, valid mask)."""
+    dots = jax.lax.dot_general(
+        q,
+        db,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if metric == "l2":
+        q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True)
+        d_sq = jnp.sum(jnp.square(db.astype(jnp.float32)), axis=1, keepdims=True)
+        sims = 2.0 * dots - q_sq - d_sq.T
+    else:
+        sims = dots
+    tile = db.shape[0]
+    col_ids = j * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (q.shape[0], tile), 1
+    )
+    # bound = min(static row count, traced n_valid) — n_valid rides SMEM so
+    # shard_map callers can mask their shard's pad rows without a recompile
+    valid = col_ids < jnp.minimum(n_db, nv_ref[0])
+    return sims, valid
+
 
 def _segment_topr_kernel(
     nv_ref, q_ref, db_ref, vals_ref, ids_ref,
@@ -68,34 +108,23 @@ def _segment_topr_kernel(
 
     q = q_ref[:]
     db = db_ref[:]
-    dots = jax.lax.dot_general(
-        q,
-        db,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    sims, valid = _tile_sims(
+        q, db, j, nv_ref, metric=metric, n_db=n_db, precision=precision
     )
-    if metric == "l2":
-        q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True)
-        d_sq = jnp.sum(jnp.square(db.astype(jnp.float32)), axis=1, keepdims=True)
-        sims = 2.0 * dots - q_sq - d_sq.T
-    else:
-        sims = dots
-
+    sims = jnp.where(valid, sims, NEG_INF)
     tile = db.shape[0]
     qb = q.shape[0]
-    col_ids = j * tile + jax.lax.broadcasted_iota(jnp.int32, (qb, tile), 1)
-    # bound = min(static row count, traced n_valid) — n_valid rides SMEM so
-    # shard_map callers can mask their shard's pad rows without a recompile
-    sims = jnp.where(
-        col_ids < jnp.minimum(n_db, nv_ref[0]), sims, NEG_INF
-    )
 
     # Insert this tile's one candidate per lane into the lane's sorted
-    # R-slot list (desc). Strict > keeps the earlier (lower-id) element on
+    # R-slot list (desc). Strict > keeps the earlier (lower-pass) element on
     # ties, matching lax.top_k order; each lane sees exactly one candidate
-    # per tile, so there is no intra-tile conflict.
-    cand_v, cand_i = sims, col_ids
+    # per tile, so there is no intra-tile conflict. The stored id is the
+    # PASS index j (int8 when the pass count allows): the lane is implicit
+    # in the buffer column, so the global id j*tile+lane is reconstructed in
+    # the epilogue — 5 state bytes per slot instead of 8, which buys a
+    # larger query block (fewer database re-streams from HBM).
+    cand_v = sims
+    cand_i = jnp.zeros((qb, tile), ids_ref.dtype) + j.astype(ids_ref.dtype)
     for r in range(r_slots):
         sl = slice(r * tile, (r + 1) * tile)
         bv = vals_ref[:, sl]
@@ -105,6 +134,43 @@ def _segment_topr_kernel(
         ids_ref[:, sl] = jnp.where(take, cand_i, bi)
         cand_v = jnp.where(take, bv, cand_v)
         cand_i = jnp.where(take, bi, cand_i)
+
+
+def _segment_packed_kernel(
+    nv_ref, q_ref, db_ref, buf_ref, *, r_slots, metric, n_db, precision, jbits
+):
+    """Approx-mode variant: ONE packed int32 per candidate slot.
+
+    Slot encoding: high (32-jbits) bits = the similarity's monotone
+    ordered-int representation truncated toward -inf; low jbits = the
+    REVERSED pass index (jmax - j), so an int32 compare orders by value
+    first and by smaller-database-id on truncated-value ties — one compare
+    + two selects per slot-step instead of the exact kernel's five ops, and
+    4 state bytes per slot instead of 8. Values decode to within 2^jbits
+    float32 ulps (n_tiles=128 -> ~1e-5 relative); the approx regime has no
+    exactness certificate anyway, and ids are decoded exactly."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        buf_ref[:] = jnp.full_like(buf_ref, INT32_MIN)
+
+    q = q_ref[:]
+    db = db_ref[:]
+    sims, valid = _tile_sims(
+        q, db, j, nv_ref, metric=metric, n_db=n_db, precision=precision
+    )
+    tile = db.shape[0]
+    jmax = np.int32((1 << jbits) - 1)
+    oi = _ordered_int(jax.lax.bitcast_convert_type(sims, jnp.int32))
+    cand = (oi & ~jmax) | (jmax - j)
+    cand = jnp.where(valid, cand, INT32_MIN)
+    for r in range(r_slots):
+        sl = slice(r * tile, (r + 1) * tile)
+        bv = buf_ref[:, sl]
+        take = cand > bv
+        buf_ref[:, sl] = jnp.where(take, cand, bv)
+        cand = jnp.where(take, bv, cand)
 
 
 @functools.partial(
@@ -125,8 +191,12 @@ def _candidates_and_topk(
 
     db_p = pad_rows(db, db_tile)
     q_p = pad_rows(queries, query_block)
-    grid = (q_p.shape[0] // query_block, db_p.shape[0] // db_tile)
+    n_tiles = db_p.shape[0] // db_tile
+    grid = (q_p.shape[0] // query_block, n_tiles)
     width = r_slots * db_tile
+    # stored ids are PASS indices: int8 whenever the pass count fits (5
+    # state bytes/slot instead of 8 — the VMEM saved goes to query_block)
+    idt = jnp.int8 if n_tiles <= 127 else jnp.int32
 
     nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
     precision = (
@@ -161,14 +231,14 @@ def _candidates_and_topk(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.float32),
-            jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
+            jax.ShapeDtypeStruct((q_p.shape[0], width), idt),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_p.shape[0] * db_p.shape[0] * d,
             bytes_accessed=(
                 q_p.shape[0] * d * 4
                 + grid[0] * db_p.shape[0] * db.dtype.itemsize
-                + q_p.shape[0] * width * 8
+                + q_p.shape[0] * width * (4 + jnp.dtype(idt).itemsize)
             ),
             transcendentals=0,
         ),
@@ -176,8 +246,16 @@ def _candidates_and_topk(
     )(nv, q_p, db_p)
     buf_v, buf_i = buf_v[:q_n], buf_i[:q_n]
 
+    # Reconstruct global ids: the buffer column fixes the lane (db column
+    # within a tile); the stored pass index fixes the tile.
+    lanes = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) % db_tile
+    )
+    gids = jnp.where(
+        buf_i >= 0, buf_i.astype(jnp.int32) * db_tile + lanes, -1
+    )
     # Order candidates exactly like lax.top_k: value desc, id asc on ties.
-    neg_v, ids_sorted = jax.lax.sort((-buf_v, buf_i), num_keys=2)
+    neg_v, ids_sorted = jax.lax.sort((-buf_v, gids), num_keys=2)
     vals = -neg_v[:, :k]
     ids = ids_sorted[:, :k]
 
@@ -191,12 +269,26 @@ def _candidates_and_topk(
     return vals, ids, suspect
 
 
+# Planner VMEM budget (bytes). Scoped VMEM is ~16 MB; the margin covers
+# Mosaic temporaries the byte model below doesn't count.
+VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _state_bytes_per_slot(n: int, db_tile: int, exact: bool) -> int:
+    """Exact: f32 value + pass-index id (int8 when the pass count fits).
+    Approx: one packed int32."""
+    if not exact:
+        return 4
+    n_tiles = _round_up(n, db_tile) // db_tile
+    return 4 + (1 if n_tiles <= 127 else 4)
+
+
 def _plan(
     n: int, d: int, k_eff: int, db_tile: int, query_block: int,
     r_slots: int, exact: bool, recall_target: float, itemsize: int,
 ):
     """Shared kernel sizing for the host and traced variants (they MUST
-    pick identical shapes: the 13 MB VMEM budget and the exactness
+    pick identical shapes: the VMEM budget and the exactness
     headroom are correctness-relevant). Returns
     (db_tile, query_block, r_slots, max_block)."""
     db_tile = min(db_tile, max(128, _round_up(n, 128)))
@@ -209,18 +301,23 @@ def _plan(
         max(2 * k_eff, k_eff + db_tile) if exact else k_eff
     ):
         r_slots *= 2
-    # VMEM: the two output blocks hold the running state (QB * R*T * 8 B,
-    # double-buffered across query blocks) + db tile (double-buffered) +
-    # q block + the sims tile. Scoped VMEM is 16 MB; leave margin.
+    # VMEM: the output block(s) hold the running state (QB * R*T * state
+    # bytes, double-buffered across query blocks) + db tile
+    # (double-buffered) + q block + the sims tile (plus packing temps in
+    # approx mode). The state is the dominant term: every byte shaved off
+    # a slot goes directly into a bigger query block = fewer database
+    # re-streams from HBM (the engine's bandwidth wall).
+    sb = _state_bytes_per_slot(n, db_tile, exact)
+    tmp = 1 if exact else 3  # approx: sims f32 + ordered-int + cand temps
     while (
         query_block > 8
         and (
-            2 * 2 * r_slots * query_block * db_tile * 4
+            2 * r_slots * query_block * db_tile * sb
             + 2 * db_tile * d * itemsize
             + query_block * d * itemsize
-            + query_block * db_tile * 4
+            + tmp * query_block * db_tile * 4
         )
-        > 13 * 1024 * 1024
+        > VMEM_BUDGET
     ):
         query_block //= 2
     # The [QB, r*T] candidate buffer is the only O(Q) HBM cost — block the
@@ -229,6 +326,155 @@ def _plan(
         query_block, (256 << 20) // (r_slots * db_tile * 8) // 8 * 8 or 8
     )
     return db_tile, query_block, r_slots, max_block
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "r_slots", "metric", "db_tile", "query_block", "interpret",
+        "highest_precision",
+    ),
+)
+def _packed_candidates_topk(
+    db, queries, k, r_slots, metric, db_tile, query_block, interpret,
+    highest_precision, n_valid=None,
+):
+    """Packed approx kernel + epilogue: returns (vals [Q,k], ids [Q,k]).
+    Fully traceable (no host round trips — the approx regime has no
+    exactness fallback)."""
+    n, d = db.shape
+    q_n = queries.shape[0]
+
+    db_p = pad_rows(db, db_tile)
+    q_p = pad_rows(queries, query_block)
+    n_tiles = db_p.shape[0] // db_tile
+    jbits = max(1, (n_tiles - 1).bit_length())
+    grid = (q_p.shape[0] // query_block, n_tiles)
+    width = r_slots * db_tile
+
+    nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
+    precision = (
+        jax.lax.Precision.HIGHEST if highest_precision
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _segment_packed_kernel,
+        r_slots=r_slots, metric=metric, n_db=n, precision=precision,
+        jbits=jbits,
+    )
+    buf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (query_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (query_block, width), lambda i, j: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_p.shape[0] * db_p.shape[0] * d,
+            bytes_accessed=(
+                q_p.shape[0] * d * 4
+                + grid[0] * db_p.shape[0] * db.dtype.itemsize
+                + q_p.shape[0] * width * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, q_p, db_p)
+    buf = buf[:q_n]
+
+    # Single-key int32 top-k replaces the exact path's two-key sort: the
+    # packed encoding already orders (value desc, earlier pass first).
+    packed, pos = jax.lax.top_k(buf, k)
+    jmax = np.int32((1 << jbits) - 1)
+    lane = pos.astype(jnp.int32) % db_tile
+    ids = (jmax - (packed & jmax)) * db_tile + lane
+    vals = jax.lax.bitcast_convert_type(
+        _ordered_int(packed & ~jmax), jnp.float32
+    )
+    empty = packed == INT32_MIN
+    return (
+        jnp.where(empty, NEG_INF, vals),
+        jnp.where(empty, -1, ids),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "db_tile", "query_block", "interpret",
+        "highest_precision", "recall_target",
+    ),
+)
+def packed_pallas_topk(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    n_valid=None,  # traced scalar ok (shard pad masking)
+    db_tile: int = None,
+    query_block: int = 512,
+    interpret: bool = None,
+    highest_precision: bool = None,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k via the packed segment-top-R kernel (the flat
+    engine's production regime — the role FAISS HNSW/LSH play in the
+    reference, pfam/proteins_search.py:26-49, at measured-higher recall).
+
+    Per-segment slot count R comes from the Poisson loss bound for
+    `recall_target` (r_for_recall). Returned values carry the packed
+    encoding's truncation (< 2^jbits f32 ulps, ~1e-5 relative at the
+    headline shape); ids are exact for the candidates kept. Safe under
+    jit/shard_map; `n_valid` masks pad rows on sharded callers."""
+    db = jnp.asarray(db)
+    queries = jnp.asarray(queries)
+    n, d = db.shape
+    q_n = queries.shape[0]
+    if q_n == 0:
+        return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if highest_precision is None:
+        highest_precision = db.dtype == jnp.float32
+    if db_tile is None:
+        # narrow segments keep the per-query state small (the query block
+        # then grows — the engine is db-restream-bound; v5e sweep: W=256/
+        # qb=512 → 342k q/s at measured recall 0.981 vs W=1024/qb=256's
+        # 264k). Large n widens W again so the packed pass-index field
+        # keeps >= ~20 bits of value precision.
+        db_tile = max(256, _round_up(n // 4096, 128) if n > 2**20 else 256)
+    k_eff = min(k, n)
+    db_tile, query_block, r_slots, max_block = _plan(
+        n, d, k_eff, db_tile, query_block, DEFAULT_R, False, recall_target,
+        db.dtype.itemsize,
+    )
+    vals_out, ids_out = [], []
+    for s in range(0, q_n, max_block):
+        vals, ids = _packed_candidates_topk(
+            db, queries[s : s + max_block], k_eff, r_slots, metric, db_tile,
+            query_block, interpret, highest_precision, n_valid,
+        )
+        vals_out.append(vals)
+        ids_out.append(ids)
+    vals = (
+        vals_out[0] if len(vals_out) == 1
+        else jnp.concatenate(vals_out, axis=0)
+    )
+    ids = ids_out[0] if len(ids_out) == 1 else jnp.concatenate(ids_out, axis=0)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids
 
 
 def r_for_recall(k: int, db_tile: int, recall_target: float) -> int:
@@ -255,13 +501,14 @@ def exact_pallas_topk(
     queries: jnp.ndarray,
     k: int,
     metric: str = "cosine",
-    db_tile: int = 1024,
-    query_block: int = 64,
+    db_tile: int = None,  # exact default 1024; approx-packed adapts
+    query_block: int = 512,
     r_slots: int = DEFAULT_R,
     interpret: bool = None,
     highest_precision: bool = None,
     exact: bool = True,
     recall_target: float = 0.95,
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the whole database (large-k fast path).
 
@@ -272,6 +519,8 @@ def exact_pallas_topk(
 
     `highest_precision` defaults to fp32-inputs => HIGHEST (FAISS-parity,
     per CLAUDE.md) and bf16 inputs => DEFAULT (fp32 MXU accumulation).
+    `exact=False` routes to the packed int32 kernel (packed_pallas_topk)
+    unless `packed=False` keeps the f32+id kernel in its recall regime.
     """
     db = jnp.asarray(db)
     queries = jnp.asarray(queries)
@@ -283,6 +532,15 @@ def exact_pallas_topk(
         interpret = jax.default_backend() != "tpu"
     if highest_precision is None:
         highest_precision = db.dtype == jnp.float32
+    if not exact and packed:
+        return packed_pallas_topk(
+            db, queries, k, metric=metric, db_tile=db_tile,
+            query_block=query_block, interpret=interpret,
+            highest_precision=highest_precision,
+            recall_target=recall_target,
+        )
+    if db_tile is None:
+        db_tile = 1024
     k_eff = min(k, n)
 
     # under a jit/shard_map trace the host-side certificate handling
@@ -294,7 +552,11 @@ def exact_pallas_topk(
     ):
         return exact_pallas_topk_traced(
             db, queries, k, metric=metric, db_tile=db_tile,
-            query_block=query_block, r_slots=r_slots, interpret=interpret,
+            query_block=query_block,
+            # let the traced variant raise its slot default (its suspect
+            # fallback recomputes the whole block, so it wants R=12)
+            r_slots=None if r_slots == DEFAULT_R else r_slots,
+            interpret=interpret,
             highest_precision=highest_precision, exact=exact,
             recall_target=recall_target,
         )
@@ -326,12 +588,23 @@ def exact_pallas_topk(
         np.flatnonzero(np.asarray(suspect)) if exact else np.empty(0, int)
     )
     if flagged.size:
-        # Rare exactness fallback (a segment held >= R of a row's top-k):
-        # full-row sort for just those rows.
-        from .topk import oneshot_topk
-
+        # Exactness fallback (a segment held >= R of a row's top-k;
+        # ~1% of rows at k=1000/W=1024 — the max-load tail of 1000 balls
+        # in 1024 bins). Re-run JUST those rows through the same kernel
+        # with doubled slots (suspect probability ~0 at 2R; measured far
+        # cheaper than the old full-row-sort fallback, which cost ~0.5 s
+        # per bench run); an oneshot sort remains the depth-2 safety net.
         sub = queries[flagged]
-        f_vals, f_ids = oneshot_topk(db, sub, k_eff, metric=metric)
+        if r_slots < 32:
+            f_vals, f_ids = exact_pallas_topk(
+                db, sub, k_eff, metric=metric, db_tile=db_tile,
+                query_block=query_block, r_slots=2 * r_slots,
+                interpret=interpret, highest_precision=highest_precision,
+            )
+        else:
+            from .topk import oneshot_topk
+
+            f_vals, f_ids = oneshot_topk(db, sub, k_eff, metric=metric)
         vals = jnp.asarray(vals).at[flagged].set(f_vals)
         ids = jnp.asarray(ids).at[flagged].set(f_ids)
 
@@ -354,21 +627,24 @@ def exact_pallas_topk_traced(
     k: int,
     metric: str = "cosine",
     n_valid=None,  # traced scalar ok (shard pad masking)
-    db_tile: int = 1024,
-    query_block: int = 64,
-    r_slots: int = DEFAULT_R,
+    db_tile: int = None,
+    query_block: int = 512,
+    r_slots: int = None,
     interpret: bool = None,
     highest_precision: bool = None,
     exact: bool = True,
     recall_target: float = 0.95,
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully-jittable segment-top-R top-k — safe inside shard_map/jit.
 
     Same math as exact_pallas_topk, but the exactness fallback is a
     `lax.cond` over an O(k)-memory streaming recompute of the WHOLE query
     block (instead of host-side suspect-row selection, which round-trips
-    through numpy and cannot trace). The certificate fires with
-    probability ~1e-6 per row, so the recompute branch almost never runs.
+    through numpy and cannot trace). Because ANY suspect row triggers the
+    whole-block recompute here, the default slot count is raised to 12
+    (per-row suspect probability ~1e-6 at k=1000/W=1024, vs ~1% at the
+    host variant's R=8 where per-row patch-up is cheap).
     """
     from .topk import streaming_topk
 
@@ -381,6 +657,17 @@ def exact_pallas_topk_traced(
         # parity with the host variant: fp32 inputs default to HIGHEST
         # (bf16-truncated matmuls swap near-tie neighbours, CLAUDE.md)
         highest_precision = db.dtype == jnp.float32
+    if not exact and packed:
+        return packed_pallas_topk(
+            db, queries, k, metric=metric, n_valid=n_valid,
+            db_tile=db_tile, query_block=query_block, interpret=interpret,
+            highest_precision=highest_precision,
+            recall_target=recall_target,
+        )
+    if db_tile is None:
+        db_tile = 1024
+    if r_slots is None:
+        r_slots = 12
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
         db.dtype.itemsize,
