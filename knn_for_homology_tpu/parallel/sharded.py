@@ -16,6 +16,8 @@ bit-identically).
 """
 
 import functools
+import logging
+import os
 from typing import Tuple
 
 import jax
@@ -27,15 +29,50 @@ from ..ops.distance import pad_rows
 from ..ops.topk import ONESHOT_SIM_BYTES, oneshot_topk, streaming_topk
 from .mesh import DATA_AXIS
 
+logger = logging.getLogger(__name__)
 
-# Opt-in: route the shard-local selection through the segment-top-R Pallas
+# Routing of the shard-local selection through the segment-top-R Pallas
 # engine (ops/exact_pallas.py exact_pallas_topk_traced — traced n_valid,
-# in-jit certificate fallback; single-chip: 2.6x -> 22.7x for exact
-# large-k). OFF by default: compiling the kernel inside shard_map through
-# this machine's compile relay was observed to take pathologically long
-# (>20 min), and real-pod compile behaviour can't be validated here.
-# Flip on a pod after one compile sanity check.
-USE_PALLAS_LOCAL_TOPK = False
+# in-jit certificate fallback; single-chip exact large-k: 2.6x -> 22x+).
+# Modes via the KNN_TPU_SHARDED_PALLAS env var:
+#   auto (default) — DEFAULT-ON on TPU, gated by a one-shot detached
+#                    compile probe whose verdict is cached per environment
+#                    (parallel/pallas_probe.py; VERDICT r2 next-round #2).
+#   always         — route unconditionally (any backend; CPU tests use
+#                    this to exercise the traced kernel in interpret mode).
+#   never          — keep the XLA one-shot/streaming engines.
+# The decision is read at TRACE time and baked into each jit
+# specialisation — set the env var before the first search of a given
+# shape (changing it later does not retrace already-compiled shapes).
+_ROUTE_DECISION = None  # per-process memo: (decision: bool, reason: str)
+
+
+def _pallas_route_enabled() -> bool:
+    global _ROUTE_DECISION
+    mode = os.environ.get("KNN_TPU_SHARDED_PALLAS", "auto").lower()
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if _ROUTE_DECISION is None:
+        from .pallas_probe import pallas_sharded_verdict
+
+        verdict = pallas_sharded_verdict()
+        if verdict is None:
+            _ROUTE_DECISION = (False, "probe pending — XLA fallback")
+        else:
+            _ROUTE_DECISION = (
+                bool(verdict),
+                "probe ok" if verdict else "probe failed — XLA fallback",
+            )
+        logger.info(
+            "sharded Pallas top-k routing: %s (%s)",
+            "ON" if _ROUTE_DECISION[0] else "OFF",
+            _ROUTE_DECISION[1],
+        )
+    return _ROUTE_DECISION[0]
 
 
 def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
@@ -44,10 +81,9 @@ def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
     masks this shard's pad rows BEFORE selection — a pad row's 0-vector can
     outscore real rows (negative cosines; l2 distance to the origin)."""
     if (
-        USE_PALLAS_LOCAL_TOPK
-        and k > 32
+        k > 32
         and db_shard.shape[1] % 128 == 0
-        and jax.default_backend() == "tpu"
+        and _pallas_route_enabled()
     ):
         from ..ops.exact_pallas import exact_pallas_topk_traced
 

@@ -66,3 +66,50 @@ def test_db_sharded_k_exceeds_database(mesh8):
     # first 20 are the whole database
     for row in ids[:, :20]:
         assert sorted(row.tolist()) == list(range(20))
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_db_sharded_pallas_route_matches_single_device(
+    mesh8, monkeypatch, approx
+):
+    """KNN_TPU_SHARDED_PALLAS=always routes the shard-local selection
+    through the traced segment-top-R kernel (interpret mode on this CPU
+    mesh) — the default-on production path on TPU (VERDICT r2 #2). Exact
+    must stay bit-identical to the single-device result; approx (the
+    packed int32 kernel) must return valid ids at high recall."""
+    monkeypatch.setenv("KNN_TPU_SHARDED_PALLAS", "always")
+    rng = np.random.RandomState(21)
+    db = rng.randn(530, 128).astype(np.float32)  # d % 128 == 0, k > 32
+    q = rng.randn(24, 128).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k = 48
+    ref_sims, ref_ids = streaming_topk(jnp.asarray(db), jnp.asarray(q), k, "ip")
+    sims, ids = db_sharded_topk(
+        jnp.asarray(db), jnp.asarray(q), k, mesh8, metric="ip", approx=approx
+    )
+    if approx:
+        recall = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(np.asarray(ids), np.asarray(ref_ids))
+        ])
+        assert recall >= 0.9
+        assert np.asarray(ids).max() < 530
+    else:
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+        np.testing.assert_allclose(
+            np.asarray(sims), np.asarray(ref_sims), rtol=1e-6
+        )
+
+
+def test_pallas_route_modes(monkeypatch):
+    from knn_for_homology_tpu.parallel import sharded
+
+    monkeypatch.setenv("KNN_TPU_SHARDED_PALLAS", "never")
+    assert sharded._pallas_route_enabled() is False
+    monkeypatch.setenv("KNN_TPU_SHARDED_PALLAS", "always")
+    assert sharded._pallas_route_enabled() is True
+    # auto on a non-TPU backend: no probe, no routing
+    monkeypatch.setenv("KNN_TPU_SHARDED_PALLAS", "auto")
+    monkeypatch.setattr(sharded, "_ROUTE_DECISION", None)
+    assert sharded._pallas_route_enabled() is False
