@@ -10,13 +10,14 @@ COMMANDS = {
     "benchmark": ("pipelines.benchmark", "end-to-end kNN/hybrid benchmark on a dataset dir"),
     "embed": ("pipelines.embed", "embedding drivers (embed / embed-all / embed-domains)"),
     "create-index": ("search.cli", "build + persist an LSH index over train.npy"),
-    "proteins-search": ("pipelines.pfam_proteins", "flat|lsh|graph full-sequence index build + search"),
+    "proteins-search": ("pipelines.pfam_proteins", "flat|lsh|graph|ivf full-sequence index build + search"),
     "cath-search": ("pipelines.cath", "all-vs-all search over every embedding npy"),
     "make-slices": ("data.slices", "slice long proteins into overlapping windows"),
     "pfam-full-sequences": ("data.pfam", "extract full sequences from pfamseq"),
     "build-dataset": ("data.builders", "seeded Pfam subset / family-count subset builders"),
     "make-fixtures": ("data.fixtures", "deterministic test-dataset generators"),
     "reverse-control": ("pipelines.reverse", "forward/reversed/shuffled embedding control"),
+    "reproduce": ("pipelines.reproduce", "one-command paper reproduction (cath / pfam-proteins / uniref90)"),
 }
 
 

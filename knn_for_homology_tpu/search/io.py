@@ -37,4 +37,8 @@ def read_index(path: Path):
         from .graph import GraphIndex
 
         return GraphIndex.from_state(state)
+    if kind == "ivf":
+        from .ivf import IVFIndex
+
+        return IVFIndex.from_state(state)
     raise ValueError(f"unknown index kind {kind!r}")

@@ -1,0 +1,103 @@
+"""IVF index: the TPU-native HNSW-class replacement (VERDICT r2 #3).
+
+Same acceptance style as the graph ANN tests: recall vs the exact flat
+engine on clustered data, persistence round-trip, edge shapes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knn_for_homology_tpu.ops.topk import flat_topk
+from knn_for_homology_tpu.search import IVFIndex, read_index, write_index
+
+
+def _clustered(n, d, n_clusters, seed=0, scale=0.08):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    assign = rng.randint(0, n_clusters, n)
+    x = centers[assign] + scale * rng.randn(n, d).astype(np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_ivf_recall_clustered(metric):
+    db = _clustered(2048, 128, 32)
+    queries = db[:128]
+    index = IVFIndex(metric=metric, nprobe=8).add(db)
+    scores, ids = index.search(queries, 10)
+    _, exact_ids = flat_topk(
+        jnp.asarray(db), jnp.asarray(queries), 10, metric=metric
+    )
+    exact_ids = np.asarray(exact_ids)
+    recall = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(ids, exact_ids)
+        ]
+    )
+    assert recall >= 0.95, recall
+    # rescored fp32 scores: self-query's top hit is itself at ~exact score
+    assert ids[0, 0] == 0
+    if metric == "cosine":
+        np.testing.assert_allclose(scores[0, 0], 1.0, atol=1e-4)
+    else:
+        np.testing.assert_allclose(scores[0, 0], 0.0, atol=1e-4)
+
+
+def test_ivf_large_k_covers_pool():
+    """k near the database size: candidate pool (nprobe*capacity) must be
+    raised to cover k and the tail padded with the FAISS sentinel."""
+    db = _clustered(600, 64, 8, seed=3)
+    index = IVFIndex(metric="cosine", nprobe=2).add(db)
+    scores, ids = index.search(db[:16], 500)
+    assert ids.shape == (16, 500)
+    # every returned non-sentinel id is a valid row
+    real = ids[ids >= 0]
+    assert real.size and real.max() < 600
+    # recall at large k on easy clustered data
+    _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(db[:16]), 500)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b[b >= 0].tolist())) / 500
+            for a, b in zip(np.asarray(exact_ids), ids)
+        ]
+    )
+    assert rec >= 0.9, rec
+
+
+def test_ivf_every_row_stored_once():
+    db = _clustered(700, 32, 11, seed=5)
+    index = IVFIndex(metric="cosine").add(db)
+    members = index._members[index._members >= 0]
+    assert sorted(members.tolist()) == list(range(700))
+
+
+def test_ivf_persistence_roundtrip(tmp_path):
+    db = _clustered(512, 64, 8, seed=7)
+    index = IVFIndex(metric="cosine", nprobe=4).add(db)
+    s1, i1 = index.search(db[:32], 9)
+    path = tmp_path / "ivf.index"
+    write_index(index, path)
+    loaded = read_index(path)
+    assert isinstance(loaded, IVFIndex)
+    s2, i2 = loaded.search(db[:32], 9)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_ivf_k_exceeds_database():
+    db = _clustered(40, 32, 4, seed=9)
+    index = IVFIndex(metric="cosine").add(db)
+    scores, ids = index.search(db[:5], 64)
+    assert ids.shape == (5, 64)
+    assert (ids[:, 40:] == -1).all() or (ids == -1).sum() > 0
+
+
+def test_ivf_tiny_database_single_cluster():
+    db = _clustered(30, 32, 2, seed=11)
+    index = IVFIndex(metric="cosine", n_clusters=1).add(db)
+    scores, ids = index.search(db, 5)
+    # one cluster holds <= 128 rows: search is exhaustive -> exact
+    _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(db), 5)
+    np.testing.assert_array_equal(ids, np.asarray(exact_ids))
