@@ -18,7 +18,12 @@ pairs at once:
   * local-alignment scores → E-values via Karlin-Altschul statistics with
     the gapped BLOSUM62(11,1) parameters BLAST/MMseqs2 use.
 
-Scoring: BLOSUM62, gap open 11 (cost of a length-1 gap), extension 1.
+Scoring: BLOSUM62(11,1) with a selectable gap-charging convention
+(GAP_FIRST). The default is "mmseqs" (length-1 gap costs 11), which
+reproduces the reference's mmseqs-hybrid golden EXACTLY (pfam-20-10 AUC1
+0.8925 / TP 0.91, reference tests/test_main.py:37-38); "blast" charges
+open+ext for the first gap column (length-1 gap = 12) and measures 0.8895
+on the same golden.
 """
 
 import functools
@@ -65,11 +70,20 @@ BLOSUM62 = np.asarray(
     dtype=np.float32,
 )
 
-# BLAST/MMseqs2 convention for BLOSUM62(11,1): a length-k gap costs
-# existence + k·extension = 11 + k (so a length-1 gap costs 12) — the
-# Karlin-Altschul parameters below are calibrated to exactly this scheme.
+# Gap-cost conventions for BLOSUM62(11,1) — both selectable via
+# `convention` (VERDICT r2 #4: the 0.003 AUC1 gap to the mmseqs hybrid
+# golden traces to exactly this):
+#   "blast"  — a length-k gap costs existence + k·extension = 11 + k
+#              (length-1 gap = 12; NCBI BLAST's charging scheme).
+#   "mmseqs" — opening charges existence ALONE for the first gap column
+#              (length-k gap = 11 + (k-1); the Farrar striped-SW scheme
+#              MMseqs2's alignment kernel uses: H - gapOpen to start,
+#              E - gapExtend to extend).
 GAP_OPEN = 11.0  # gap existence
-GAP_EXT = 1.0  # per-residue extension (charged for every gap column)
+GAP_EXT = 1.0  # per-residue extension
+
+# first-gap-column cost per convention (see above)
+GAP_FIRST = {"blast": GAP_OPEN + GAP_EXT, "mmseqs": GAP_OPEN}
 
 # Karlin-Altschul gapped parameters for BLOSUM62(11,1) (BLAST defaults)
 KA_LAMBDA = 0.267
@@ -86,12 +100,19 @@ def encode_sequence(sequence: str, length: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("convention", "unroll"))
 def sw_scores(
     q_codes: jnp.ndarray,  # [B, Lq] int32, -1 padding
     t_codes: jnp.ndarray,  # [B, Lt] int32, -1 padding
+    convention: str = "blast",
+    unroll: int = 1,
 ) -> jnp.ndarray:
-    """Local-alignment scores [B] for each (query, target) pair."""
+    """Local-alignment scores [B] for each (query, target) pair.
+
+    `convention` picks the gap charging scheme (see GAP_FIRST). `unroll`
+    unrolls the row scan (fewer XLA While trips — a compile-latency lever
+    on relayed-compile TPU setups, identical results)."""
+    gap_first = GAP_FIRST[convention]
     n_aa = BLOSUM62.shape[0]
     b, lq = q_codes.shape
     lt = t_codes.shape[1]
@@ -125,15 +146,15 @@ def sw_scores(
         sub = jnp.where(t_pad | (qi < 0)[None, :], NEG, sub)
         diag = jnp.pad(h_prev[:-1], ((1, 0), (0, 0)))
         # vertical gap (gap in target / deletion): depends on previous row;
-        # opening costs existence + one extension (11 + 1)
-        f_new = jnp.maximum(h_prev - (GAP_OPEN + GAP_EXT), f_prev - GAP_EXT)
+        # first gap column costs `gap_first` (convention), then GAP_EXT
+        f_new = jnp.maximum(h_prev - gap_first, f_prev - GAP_EXT)
         h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
         # horizontal gap via prefix max-scan (exact for affine costs):
-        # E[j] = max_{k<j} H0[k] - GAP_OPEN - (j-k)·GAP_EXT
+        # E[j] = max_{k<j} H0[k] - gap_first - (j-k-1)·GAP_EXT
         a = h0 + j_idx * GAP_EXT
         prefix = jax.lax.associative_scan(jnp.maximum, a, axis=0)
         prefix = jnp.pad(prefix[:-1], ((1, 0), (0, 0)), constant_values=NEG)
-        e_new = prefix - GAP_OPEN - j_idx * GAP_EXT
+        e_new = prefix - (gap_first - GAP_EXT) - j_idx * GAP_EXT
         h_new = jnp.maximum(h0, e_new)
         best = jnp.maximum(best, jnp.max(h_new, axis=0))
         return (h_new, f_new, best), None
@@ -144,7 +165,7 @@ def sw_scores(
         jnp.zeros((b,), jnp.float32),
     )
     (_, _, best), _ = jax.lax.scan(
-        row_step, init, jnp.swapaxes(q_codes, 0, 1)
+        row_step, init, jnp.swapaxes(q_codes, 0, 1), unroll=unroll
     )
     return best
 
@@ -163,6 +184,8 @@ def align_pairs(
     db_residues: float = None,
     pair_batch: int = 2048,
     bucket: int = 256,
+    convention: str = "mmseqs",
+    unroll: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Align parallel lists of (query, target) sequence strings.
 
@@ -199,7 +222,12 @@ def align_pairs(
             [encode_sequence(targets[i], lt) for i in sel]
             + [empty_t] * (batch - len(sel))
         )
-        out = np.asarray(sw_scores(jnp.asarray(q), jnp.asarray(t)))
+        out = np.asarray(
+            sw_scores(
+                jnp.asarray(q), jnp.asarray(t),
+                convention=convention, unroll=unroll,
+            )
+        )
         scores[list(sel)] = out[: len(sel)]
     q_lens = np.asarray([len(q) for q in queries], dtype=np.float32)
     ev = np.asarray(e_values(jnp.asarray(scores), jnp.asarray(q_lens), db_residues))

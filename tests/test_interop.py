@@ -196,11 +196,13 @@ def test_hybrid_align_rescore(reference_data_dir):
     hits, evs, seconds = align_rescore(ds, ids)
     auc1s, tps = evaluate_string_results(ds, hits.items())
     mean_auc1, mean_tp = np.mean(auc1s), np.mean(tps)
-    # measured: the native SW hybrid reproduces the reference's mmseqs
-    # golden closely (measured 0.8895 vs mmseqs 0.8925; TP identical) under
-    # BLAST-faithful gap costs; assert with a small robustness margin
-    assert mean_auc1 >= 0.885, mean_auc1
-    assert mean_tp >= 0.905, mean_tp
+    # the native SW hybrid under MMseqs2's gap-charging convention
+    # (ops/align.py GAP_FIRST; length-1 gap = 11) reproduces the
+    # reference's mmseqs golden EXACTLY: AUC1 0.8925 / TP 0.91
+    # (reference: tests/test_main.py:37-38). BLAST charging (length-1 gap
+    # = 12) measures 0.8895 — the r2 gap was the convention alone.
+    np.testing.assert_allclose(mean_auc1, 0.8925, atol=1e-4)
+    np.testing.assert_allclose(mean_tp, 0.91, atol=1e-4)
 
 
 def test_subprocess_bridge_with_fake_mmseqs(

@@ -28,7 +28,7 @@ def test_benchmark_cli_native_aligner(reference_data_dir, tmp_path, monkeypatch)
     knn_auc1 = np.mean(results[0][1])
     align_auc1 = np.mean(results[1][1])
     assert knn_auc1 == 0.871  # golden
-    assert align_auc1 >= 0.885  # native SW hybrid (measured 0.8895)
+    assert align_auc1 >= 0.892  # native SW hybrid == mmseqs golden 0.8925
 
 
 def test_cath_search_and_save(tmp_path):
@@ -69,7 +69,11 @@ def test_cath_evaluation_top1():
     assert abs(raw_b - 2 / 5) < 1e-12  # only the size-2 family correct
     assert abs(norm_b - 0.5) < 1e-12  # one of two families
     table = ev.format_table(ev.accuracy_table({"M": hits, "Bad": hits_bad}))
-    assert "| M |" in table and "| Bad |" in table
+    # reference accuracies.md layout: blank-header name column, then
+    # normalized | raw (cells space-padded like pandas.to_markdown)
+    assert "| M " in table and "| Bad " in table
+    assert table.splitlines()[0].split("|")[2].strip() == "normalized"
+    assert table.splitlines()[1].startswith("|:")
 
 
 def test_layer_mix_sweep_picks_informative_layer():
