@@ -152,18 +152,34 @@ class CathEvaluation:
         return out
 
     def format_table(self, records: List[Tuple]) -> str:
-        lines = ["| Method | QrawTop1 | QnormTop1 |", "|---|---|---|"]
+        """The reference's accuracies.md layout (pandas.to_markdown pipe
+        table: blank-header name column, then `normalized | raw`, sorted
+        by normalized — reference:
+        more_sensitive/cath-figures/accuracies.md:1-23)."""
+        rows = []
         for rec in records:
             if len(rec) == 5:
                 name, raw, norm, pm_raw, pm_norm = rec
-                lines.append(
-                    f"| {name} | {raw:.1%} ± {pm_raw:.1%}"
-                    f" | {norm:.1%} ± {pm_norm:.1%} |"
+                rows.append(
+                    (name, f"{norm:.1%}±{pm_norm:.1%}",
+                     f"{raw:.1%}±{pm_raw:.1%}")
                 )
             else:
                 name, raw, norm = rec
-                lines.append(f"| {name} | {raw:.1%} | {norm:.1%} |")
-        return "\n".join(lines)
+                rows.append((name, f"{norm:.1%}", f"{raw:.1%}"))
+        headers = ("", "normalized", "raw")
+        widths = [
+            max(len(h), *(len(r[c]) for r in rows)) if rows else len(h)
+            for c, h in enumerate(headers)
+        ]
+
+        def line(cells):
+            return "| " + " | ".join(
+                c.ljust(w) for c, w in zip(cells, widths)
+            ) + " |"
+
+        sep = "|" + "|".join(":" + "-" * (w + 1) for w in widths) + "|"
+        return "\n".join([line(headers), sep] + [line(r) for r in rows])
 
 
 def evaluate_and_report(
