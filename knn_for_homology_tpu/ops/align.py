@@ -200,6 +200,11 @@ def align_pairs(
     n = len(queries)
     if n == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.float32)
+    # per-shape XLA compiles are this path's deployment tax (~minutes at
+    # Lq=256 through a compile relay) — persist them across processes
+    from ..utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     if db_residues is None:
         db_residues = float(sum(len(t) for t in targets))
 

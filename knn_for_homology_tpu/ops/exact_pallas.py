@@ -286,14 +286,18 @@ def _state_bytes_per_slot(n: int, db_tile: int, exact: bool) -> int:
 def _plan(
     n: int, d: int, k_eff: int, db_tile: int, query_block: int,
     r_slots: int, exact: bool, recall_target: float, itemsize: int,
+    exact_row_target: float = 3e-3,
 ):
     """Shared kernel sizing for the host and traced variants (they MUST
     pick identical shapes: the VMEM budget and the exactness
     headroom are correctness-relevant). Returns
-    (db_tile, query_block, r_slots, max_block)."""
+    (db_tile, query_block, r_slots, max_block). `r_slots=None` resolves
+    from the Poisson suspect-rate bound (r_for_exact)."""
     db_tile = min(db_tile, max(128, _round_up(n, 128)))
     if not exact:
         r_slots = r_for_recall(k_eff, db_tile, recall_target)
+    elif r_slots is None:
+        r_slots = r_for_exact(k_eff, db_tile, exact_row_target)
     # r_slots * db_tile candidates must cover k with headroom, and the
     # striding argument (id runs <= W hit each segment <= ceil(k/W)+1
     # times) needs W ~ k; tiny-n tests shrink the tile, so grow R to fit.
@@ -477,6 +481,34 @@ def packed_pallas_topk(
     return vals, ids
 
 
+def _poisson_tail(lam: float, r: int) -> float:
+    """P(X >= r) for X ~ Poisson(lam)."""
+    import math
+
+    cdf = 0.0
+    term = math.exp(-lam)
+    for x in range(0, r):
+        cdf += term
+        term = term * lam / (x + 1)
+    return max(0.0, 1.0 - cdf)
+
+
+def r_for_exact(
+    k: int, db_tile: int, per_row_target: float = 3e-3
+) -> int:
+    """Smallest per-segment slot count R whose expected certificate-failure
+    rate (suspect rows needing the rescue pass) stays under
+    `per_row_target`: a row flags iff some segment holds >= R of its
+    top-k, segments fill ~Poisson(k/W), and there are W segments. Narrow
+    segments (small W) give small per-query state — the engine's
+    restream-bound throughput lever — at the cost of a larger R."""
+    lam = max(k / db_tile, 1e-9)
+    for r in range(max(2, int(lam) + 1), 65):
+        if _poisson_tail(lam, r) * db_tile <= per_row_target:
+            return r
+    return 64
+
+
 def r_for_recall(k: int, db_tile: int, recall_target: float) -> int:
     """Smallest per-segment slot count R whose expected element loss meets
     the recall target. Top-k elements land in segments ~Poisson(λ = k/W);
@@ -501,9 +533,9 @@ def exact_pallas_topk(
     queries: jnp.ndarray,
     k: int,
     metric: str = "cosine",
-    db_tile: int = None,  # exact default 1024; approx-packed adapts
-    query_block: int = 512,
-    r_slots: int = DEFAULT_R,
+    db_tile: int = None,  # None → k-adaptive (see below)
+    query_block: int = 320,
+    r_slots: int = None,  # None → Poisson suspect-rate bound (r_for_exact)
     interpret: bool = None,
     highest_precision: bool = None,
     exact: bool = True,
@@ -539,9 +571,14 @@ def exact_pallas_topk(
             highest_precision=highest_precision,
             recall_target=recall_target,
         )
-    if db_tile is None:
-        db_tile = 1024
     k_eff = min(k, n)
+    if db_tile is None:
+        # narrow segments shrink the per-query exactness state (f32 vals +
+        # pass ids × R·W slots), buying a bigger query block — the engine
+        # is db-restream-bound. Measured at n=131k/k=1000: W=256/R=15/
+        # qb=160 → 113.9k q/s vs W=1024/R=8/qb=64 → 62k. Small k keeps the
+        # wide tile (R would not shrink below ~2 anyway).
+        db_tile = 256 if k_eff >= 128 else 1024
 
     # under a jit/shard_map trace the host-side certificate handling
     # (np.asarray on `suspect`) cannot run — transparently defer to the
@@ -553,9 +590,9 @@ def exact_pallas_topk(
         return exact_pallas_topk_traced(
             db, queries, k, metric=metric, db_tile=db_tile,
             query_block=query_block,
-            # let the traced variant raise its slot default (its suspect
-            # fallback recomputes the whole block, so it wants R=12)
-            r_slots=None if r_slots == DEFAULT_R else r_slots,
+            # None lets the traced variant pick its stricter slot default
+            # (its suspect fallback recomputes the whole block)
+            r_slots=r_slots,
             interpret=interpret,
             highest_precision=highest_precision, exact=exact,
             recall_target=recall_target,
@@ -565,24 +602,25 @@ def exact_pallas_topk(
         n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
         db.dtype.itemsize,
     )
-    if q_n > max_block:
-        outs = [
-            exact_pallas_topk(
-                db, queries[s : s + max_block], k, metric=metric,
-                db_tile=db_tile, query_block=query_block, r_slots=r_slots,
-                interpret=interpret, highest_precision=highest_precision,
-                exact=exact, recall_target=recall_target,
-            )
-            for s in range(0, q_n, max_block)
-        ]
-        return (
-            jnp.concatenate([v for v, _ in outs], axis=0),
-            jnp.concatenate([i for _, i in outs], axis=0),
+    # all chunks stay ON DEVICE, including the suspect flags — the rescue
+    # below then needs exactly ONE host fetch for the whole call (a fetch
+    # per chunk was 34 relay round-trips at bench scale, and a rescue run
+    # per chunk re-streamed the database 34 extra times)
+    vals_out, ids_out, suspect_out = [], [], []
+    for s in range(0, q_n, max_block):
+        v, i, sus = _candidates_and_topk(
+            db, queries[s : s + max_block], k_eff, r_slots, metric,
+            db_tile, query_block, interpret, highest_precision,
         )
-    vals, ids, suspect = _candidates_and_topk(
-        db, queries, k_eff, r_slots, metric, db_tile, query_block,
-        interpret, highest_precision,
-    )
+        vals_out.append(v)
+        ids_out.append(i)
+        suspect_out.append(sus)
+    if len(vals_out) == 1:
+        vals, ids, suspect = vals_out[0], ids_out[0], suspect_out[0]
+    else:
+        vals = jnp.concatenate(vals_out, axis=0)
+        ids = jnp.concatenate(ids_out, axis=0)
+        suspect = jnp.concatenate(suspect_out, axis=0)
 
     flagged = (
         np.flatnonzero(np.asarray(suspect)) if exact else np.empty(0, int)
@@ -594,7 +632,11 @@ def exact_pallas_topk(
         # with doubled slots (suspect probability ~0 at 2R; measured far
         # cheaper than the old full-row-sort fallback, which cost ~0.5 s
         # per bench run); an oneshot sort remains the depth-2 safety net.
-        sub = queries[flagged]
+        # pad the rescue batch to a power-of-two row count: every distinct
+        # flagged count would otherwise compile a fresh kernel shape
+        # (~34 query chunks x ~1% flagged each = dozens of compiles)
+        m = 1 << (int(flagged.size) - 1).bit_length()
+        sub = queries[np.pad(flagged, (0, m - flagged.size))]
         if r_slots < 32:
             f_vals, f_ids = exact_pallas_topk(
                 db, sub, k_eff, metric=metric, db_tile=db_tile,
@@ -605,8 +647,8 @@ def exact_pallas_topk(
             from .topk import oneshot_topk
 
             f_vals, f_ids = oneshot_topk(db, sub, k_eff, metric=metric)
-        vals = jnp.asarray(vals).at[flagged].set(f_vals)
-        ids = jnp.asarray(ids).at[flagged].set(f_ids)
+        vals = jnp.asarray(vals).at[flagged].set(f_vals[: flagged.size])
+        ids = jnp.asarray(ids).at[flagged].set(f_ids[: flagged.size])
 
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
@@ -642,9 +684,9 @@ def exact_pallas_topk_traced(
     `lax.cond` over an O(k)-memory streaming recompute of the WHOLE query
     block (instead of host-side suspect-row selection, which round-trips
     through numpy and cannot trace). Because ANY suspect row triggers the
-    whole-block recompute here, the default slot count is raised to 12
-    (per-row suspect probability ~1e-6 at k=1000/W=1024, vs ~1% at the
-    host variant's R=8 where per-row patch-up is cheap).
+    whole-block recompute here, the slot default uses a much stricter
+    suspect-rate bound (1e-6 per row) than the host variant's (3e-3,
+    where per-row patch-up is cheap).
     """
     from .topk import streaming_topk
 
@@ -665,12 +707,10 @@ def exact_pallas_topk_traced(
             recall_target=recall_target,
         )
     if db_tile is None:
-        db_tile = 1024
-    if r_slots is None:
-        r_slots = 12
+        db_tile = 256 if k_eff >= 128 else 1024
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
-        db.dtype.itemsize,
+        db.dtype.itemsize, exact_row_target=1e-6,
     )
     # the [QB, R*T] candidate buffer is bounded by blocking queries
     # (unrolled in the trace: Q is static)

@@ -127,3 +127,44 @@ def test_overlap_counts_semantics():
     mm = {"q": {2, 4, 9}}
     (c3,) = overlap_counts(knn, mm, cutoffs=(3,))
     assert c3 == {"hits": 3, "knn_only": 2, "both": 1, "mm_only": 2}
+
+
+def test_reproduce_pfam_proteins_tree(tmp_path):
+    """Full-protein reproduce chain with a synthetic checkpoint: embed →
+    flat index k-search → proteins-figures/ tree."""
+    from knn_for_homology_tpu.pipelines.reproduce import (
+        reproduce_pfam_proteins,
+    )
+
+    rng = np.random.RandomState(4)
+    n_fam, per_fam, length = 4, 8, 40
+    n = n_fam * per_fam
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    full_fasta = tmp_path / "full.fasta"
+    pfam_a = tmp_path / "pfam_a.fasta"
+    with open(full_fasta, "w") as full, open(pfam_a, "w") as pa:
+        for i in range(n):
+            fam = i // per_fam
+            seed = np.random.RandomState(fam)
+            seq = "".join(aas[j] for j in seed.randint(0, 20, length))
+            full.write(f">P{i:03d}\n{seq}\n")
+            # Pfam-A style header carrying the family annotation
+            # (data/pfam.py:HEADER_RE: ">ID/start-stop ACC.v FAM.v;name;")
+            pa.write(
+                f">P{i:03d}/1-{length} P{i:03d}.1 PF{fam:05d}.1;Fam{fam};\n"
+                f"{seq}\n"
+            )
+    checkpoints = tmp_path / "checkpoints"
+    checkpoints.mkdir()
+    _tiny_t5_checkpoint(checkpoints / "ProtT5 XL U50")
+
+    out = tmp_path / "more_sensitive"
+    metrics = reproduce_pfam_proteins(
+        full_fasta, pfam_a, out, checkpoints=checkpoints, k=20,
+    )
+    figures = out / "proteins-figures"
+    assert (figures / "metrics.json").exists()
+    assert (figures / "accuracy_over_hits-data.npz").exists()
+    assert "auc1" in metrics
+    # identical sequences within a family → embeddings cluster → high AUC1
+    assert metrics["auc1"] > 0.9, metrics
