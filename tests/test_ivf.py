@@ -101,3 +101,58 @@ def test_ivf_tiny_database_single_cluster():
     # one cluster holds <= 128 rows: search is exhaustive -> exact
     _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(db), 5)
     np.testing.assert_array_equal(ids, np.asarray(exact_ids))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_ivf_union_scan_matches_dma_path(metric):
+    """Blocks >= UNION_MIN_Q take the batched union-scan path (gather the
+    probed cells' slabs, scan with the flat engine); its results must be
+    at least as good as the per-query DMA path's — every cell a query
+    probes is in the union, so the union candidates are a superset."""
+    db = _clustered(4096, 128, 64, seed=13)
+    n_q = IVFIndex.UNION_MIN_Q
+    queries = db[:n_q]
+    index = IVFIndex(metric=metric, nprobe=4).add(db)
+    s_union, i_union = index.search(queries, 10)  # n_q >= UNION_MIN_Q
+    # force the DMA path by searching one small chunk at a time
+    half = n_q // 2
+    s_dma = np.concatenate(
+        [index.search(queries[:half], 10)[0],
+         index.search(queries[half:], 10)[0]]
+    )
+    _, exact_ids = flat_topk(
+        jnp.asarray(db), jnp.asarray(queries), 10, metric=metric
+    )
+    exact_ids = np.asarray(exact_ids)
+
+    def recall(ids):
+        return np.mean(
+            [len(set(a.tolist()) & set(b[b >= 0].tolist())) / 10
+             for a, b in zip(exact_ids, ids)]
+        )
+
+    r_union = recall(i_union)
+    assert r_union >= 0.95, r_union
+    # superset property: union-path top-1 score >= DMA top-1 score
+    assert (s_union[:, 0] >= s_dma[:, 0] - 1e-4).all()
+    # no capacity-padding rows leak into results (bias-lane knockout)
+    valid = i_union >= 0
+    assert valid[:, 0].all()
+
+
+def test_ivf_union_scan_pad_rows_never_surface():
+    """With k greater than the real candidate count, the engine must pad
+    with sentinel -1/-inf instead of surfacing the zero pad rows that fill
+    slabs to capacity."""
+    db = _clustered(256, 64, 4, seed=17)
+    index = IVFIndex(metric="cosine", nprobe=1, n_clusters=4).add(db)
+    index.UNION_MIN_Q = 8  # force the union path at a tiny block
+    scores, ids = index.search(db[:16], 200)
+    real = ids >= 0
+    # scores on sentinel slots are -inf, never the pad rows' bias value
+    assert np.isneginf(scores[~real]).all()
+    # all real ids valid and unique per row
+    for row in ids:
+        r = row[row >= 0]
+        assert len(set(r.tolist())) == len(r)
+        assert r.max() < 256
