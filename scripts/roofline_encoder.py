@@ -1,19 +1,27 @@
 """Attribute the ProtT5-XL encoder's MXU-efficiency gap (VERDICT r2 #8).
 
 At the token-budget batcher's 128x256 short-wide regime the encoder
-measured 41.9k res/s (~51% MXU). This script times the layer's pieces in
-isolation at the same geometry to find where the other half goes:
+measured 41.9k res/s (~51% MXU) in r2. This script times the layer's
+pieces at the same geometry to find where the rest goes:
 
-  M1  bare FFN matmuls (wi + wo)          — the layer's FLOP mass
+  M1  bare FFN matmuls (wi + relu + wo)   — the layer's FLOP mass
   M2  bare attention projections (q,k,v,o)
-  M3  dense attention core (scores+softmax+pv)
-  M4  layernorms + residuals + relu (VPU tail)
-  E   one full encoder layer
-  F   full 24-layer encode (the production number)
+  M3  dense attention core (scores+softmax+pv, fp32 score tensor in HBM)
+  M5  flash attention core (fused Pallas kernel, scores never leave VMEM)
+  M4  4x rmsnorm (VPU tail)
+  F   full 24-layer encode, dense attention path
+  F2  full 24-layer encode, flash-kernel attention path
+
+Timing methodology (the axon relay adds ~64 ms per host fetch, which
+swamps 5-20 ms kernels): every measurement chains REPS iterations inside
+ONE jit via lax.fori_loop with a data-dependent carry, fetches one scalar
+at the end, and divides by REPS — device-only sequencing, one relay
+round-trip per measurement.
 
 Usage: python scripts/roofline_encoder.py [batch length]
 """
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -30,24 +38,33 @@ B, L = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (128, 256)
 D, DKV, DFF, H, LAYERS = 1024, 128, 16384, 32, 24
 TOKENS = B * L
 PEAK = 197e12  # v5e bf16
+REPS = 8
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
+def timed(step, x0, reps=REPS):
+    """step: carry -> carry, chained `reps` times inside one jit."""
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, reps, lambda i, c: step(c), x)
+
+    out = run(x0)
     jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0][..., :1].astype(jnp.float32)))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    out = run(x0)
+    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0][..., :1].astype(jnp.float32)))
     return (time.perf_counter() - t0) / reps
 
 
-def report(tag, secs, flops):
-    eff = flops / secs / PEAK
-    print(f"{tag:28s}: {secs*1e3:8.2f} ms  {flops/secs/1e12:6.1f} TF/s "
-          f"({eff:5.1%} MXU)", flush=True)
+def report(tag, secs, flops=None):
+    if flops:
+        eff = flops / secs / PEAK
+        print(f"{tag:30s}: {secs*1e3:8.2f} ms  {flops/secs/1e12:6.1f} TF/s "
+              f"({eff:5.1%} MXU)", flush=True)
+    else:
+        print(f"{tag:30s}: {secs*1e3:8.2f} ms", flush=True)
 
 
 def main():
@@ -58,80 +75,117 @@ def main():
     wq = jax.random.normal(key, (D, H * DKV), jnp.bfloat16) * 0.02
     jax.block_until_ready((x, wi, wo, wq))
 
-    @jax.jit
-    def ffn(x, wi, wo):
+    def ffn(xc):
         h = jnp.maximum(
-            jnp.dot(x, wi, preferred_element_type=jnp.float32), 0.0
+            jnp.dot(xc, wi, preferred_element_type=jnp.float32), 0.0
         ).astype(jnp.bfloat16)
-        return jnp.dot(h, wo, preferred_element_type=jnp.float32)
+        return jnp.dot(h, wo).astype(jnp.bfloat16)
 
     f_ffn = 2 * TOKENS * D * DFF * 2
-    report("M1 FFN wi+relu+wo", timed(ffn, x, wi, wo), f_ffn)
+    report("M1 FFN wi+relu+wo", timed(ffn, x), f_ffn)
 
-    @jax.jit
-    def proj4(x, wq):
-        return tuple(
-            jnp.dot(x, wq, preferred_element_type=jnp.float32)
-            for _ in range(4)
-        )
+    def proj4(xc):
+        outs = [jnp.dot(xc, wq) for _ in range(4)]
+        return sum(o[:, :D] for o in outs).astype(jnp.bfloat16)
 
     f_proj = 4 * 2 * TOKENS * D * H * DKV
-    report("M2 q,k,v,o projections", timed(proj4, x, wq), f_proj)
+    report("M2 q,k,v,o projections", timed(proj4, x), f_proj)
 
     q = jax.random.normal(key, (B, H, L, DKV), jnp.bfloat16)
+    mask = jnp.ones((B, L), bool)
+    rel = jax.random.normal(key, (32, H), jnp.float32) * 0.1
 
-    @jax.jit
-    def attn_core(q):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, q,
+    def attn_core(qc):
+        s = jnp.einsum("bhqd,bhkd->bhqk", qc, qc,
                        preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-        return jnp.einsum("bhqk,bhkd->bhqd", p, q,
-                          preferred_element_type=jnp.float32)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, qc,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
 
     f_core = 4 * B * H * L * L * DKV
     report("M3 dense attention core", timed(attn_core, q), f_core)
 
-    @jax.jit
-    def vpu_tail(x):
+    from knn_for_homology_tpu.ops.flash_attention import flash_attention_t5
+
+    def flash_core(qc):
+        return flash_attention_t5(qc, qc, qc, mask, rel, block=min(512, L))
+
+    report("M5 flash attention core", timed(flash_core, q), f_core)
+
+    def vpu_tail(xc):
         for _ in range(4):
-            var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1,
+            var = jnp.mean(jnp.square(xc.astype(jnp.float32)), -1,
                            keepdims=True)
-            x = (x * jax.lax.rsqrt(var + 1e-6)).astype(jnp.bfloat16)
-        return x
+            xc = (xc * jax.lax.rsqrt(var + 1e-6)).astype(jnp.bfloat16)
+        return xc
 
-    t = timed(vpu_tail, x)
-    print(f"{'M4 4x rmsnorm (VPU tail)':28s}: {t*1e3:8.2f} ms", flush=True)
+    report("M4 4x rmsnorm (VPU tail)", timed(vpu_tail, x))
 
-    config = t5.T5Config(
-        vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
-        num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
-    )
-    shapes = jax.eval_shape(lambda: t5.init_params(config, seed=0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    vals = [
-        (jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.float32)
-         * 0.02).astype(l.dtype)
-        for i, l in enumerate(leaves)
-    ]
-    params = jax.tree_util.tree_unflatten(treedef, vals)
-    jax.block_until_ready(params)
-
+    f_layer = f_ffn + f_proj + f_core
     ids = jnp.asarray(
         np.random.RandomState(0).randint(3, 25, (B, L)).astype(np.int32)
     )
-    mask = jnp.ones((B, L), bool)
+    emask = jnp.ones((B, L), bool)
 
-    @jax.jit
-    def full(params, ids, mask):
-        return t5.encode(params, ids, mask, config)
+    from knn_for_homology_tpu.ops.short_attention import short_attention_t5
 
-    f_layer = f_ffn + f_proj + f_core
-    t = timed(full, params, ids, mask, reps=3)
-    report("F  24-layer encode", t, LAYERS * f_layer)
-    print(f"   -> {TOKENS/t:,.0f} residues/s", flush=True)
-    print(f"   sum of pieces x24 would be: "
-          f"{(timed(ffn, x, wi, wo)+timed(proj4, x, wq)+timed(attn_core, q))*24*1e3:.1f} ms",
-          flush=True)
+    bias = jax.random.normal(key, (H, L, L), jnp.float32) * 0.1
+
+    def short_core(qc):
+        return short_attention_t5(qc, qc, qc, mask, bias)
+
+    report("M6 short fused attn core", timed(short_core, q), f_core)
+
+    for tag, cfg in [
+        ("F  24-layer encode (dense)", t5.T5Config(
+            vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
+            num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
+            use_short_kernel=False,
+        )),
+        ("F2 24-layer encode (flash)", t5.T5Config(
+            vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
+            num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
+            blockwise_above=L - 1, use_flash_kernel=True,
+        )),
+        ("F3 24-layer encode (short)", t5.T5Config(
+            vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
+            num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
+            use_short_kernel=True,
+        )),
+    ]:
+        shapes = jax.eval_shape(lambda: t5.init_params(cfg, seed=0))
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        vals = [
+            (jax.random.normal(jax.random.fold_in(key, i), s.shape,
+                               jnp.float32) * 0.02).astype(s.dtype)
+            for i, s in enumerate(leaves)
+        ]
+        params = jax.tree_util.tree_unflatten(treedef, vals)
+        jax.block_until_ready(params)
+        reps = 4
+
+        # params MUST be a jit argument — closed over, the 2.4 GB tree
+        # becomes HLO constants and blows the compile relay (HTTP 413)
+        @functools.partial(jax.jit, static_argnames=("_cfg",))
+        def run(params, acc, _cfg):
+            def body(i, c):
+                a, n = c
+                out = t5.encode(params, ids, emask, _cfg)
+                return (a + out.astype(jnp.float32), n + 1)
+            return jax.lax.fori_loop(0, reps, body, (acc, jnp.int32(0)))
+
+        acc0 = jnp.zeros((B, L, D), jnp.float32)
+        out = run(params, acc0, cfg)
+        jax.block_until_ready(out)
+        float(jnp.sum(out[0][..., :1]))
+        t0 = time.perf_counter()
+        out = run(params, acc0, cfg)
+        jax.block_until_ready(out)
+        float(jnp.sum(out[0][..., :1]))
+        t = (time.perf_counter() - t0) / reps
+        report(tag, t, LAYERS * f_layer)
+        print(f"   -> {TOKENS/t:,.0f} residues/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -156,3 +156,23 @@ def test_ivf_union_scan_pad_rows_never_surface():
         r = row[row >= 0]
         assert len(set(r.tolist())) == len(r)
         assert r.max() < 256
+
+
+def test_ivf_route_sort_preserves_caller_order():
+    """Multi-block host searches sort queries by routed cell internally
+    (locality shrinks each block's cell union); the inverse permutation
+    must restore caller order exactly — row i of the result always
+    answers query i."""
+    db = _clustered(2048, 64, 16, seed=23)
+    index = IVFIndex(metric="cosine", nprobe=4).add(db)
+    index.UNION_MIN_Q = 32
+    index.QUERY_BLOCK = 64  # several blocks -> the sort path activates
+    queries = db[:256]
+    s_multi, i_multi = index.search(queries, 5)
+    # golden: one query at a time (no sorting, no union path)
+    index.QUERY_BLOCK = 4096
+    index.UNION_MIN_Q = 10**9
+    for qi in (0, 17, 128, 255):
+        s_one, i_one = index.search(queries[qi : qi + 1], 5)
+        np.testing.assert_array_equal(i_multi[qi], i_one[0])
+        np.testing.assert_allclose(s_multi[qi], s_one[0], rtol=2e-3)
