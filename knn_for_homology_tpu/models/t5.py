@@ -51,10 +51,14 @@ class T5Config:
     # True/False force it either way (tests force True).
     use_flash_kernel: Any = "auto"  # "auto" | True | False
     # fused short-sequence attention (ops/short_attention.py) for the
-    # dense regime L <= short_kernel_max: keeps the fp32 [B, H, L, L]
-    # score tensor out of HBM (~3 GB/layer of traffic at 128x256 —
-    # 13.2 ms/layer measured against ~1 ms ideal). "auto": on TPU only.
-    use_short_kernel: Any = "auto"  # "auto" | True | False
+    # dense regime L <= short_kernel_max. MEASURED NEGATIVE on v5e at
+    # 128x256 (scripts/roofline_encoder.py): Mosaic issues the small
+    # per-head [L, dk] dots at ~4.4 us each whether looped or batched
+    # (17.8-18.2 ms/layer), while XLA's dense path fuses softmax into the
+    # score matmul epilogues and runs 13-14 ms — full-encode 48.8k vs
+    # 44.1k res/s. Kept as an opt-in ("auto" resolves to False) both as
+    # the documented experiment and for future Mosaic versions.
+    use_short_kernel: Any = "auto"  # "auto" (= off) | True | False
     short_kernel_max: int = 512
 
 
@@ -306,7 +310,7 @@ def encode(
             params["rel_embedding"], length, length, config
         )
         use_short = length <= config.short_kernel_max and (
-            jax.default_backend() == "tpu"
+            False  # measured slower than XLA dense on v5e (see T5Config)
             if config.use_short_kernel == "auto"
             else bool(config.use_short_kernel)
         )

@@ -29,32 +29,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
+# per-step VMEM working-set budget for the head-group sizing (Mosaic's
+# scoped limit is 16 MB; headroom for double-buffered input blocks)
+VMEM_BUDGET = 14 * 2**20
 
 
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref):
-    """Grid (B,). q/k/v/o [1, H, L, dk]; mask [B, L] int32 (full batch in
-    VMEM — Mosaic sublane rule, as in ops/flash_attention.py); bias
-    [H, L, L] fp32 shared across the batch."""
-    h = q_ref.shape[1]
-    kv_mask = mask_ref[pl.program_id(0)] != 0  # [L]
-    for hi in range(h):  # static unroll over heads
-        scores = jax.lax.dot_general(
-            q_ref[0, hi],
-            k_ref[0, hi],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [L, L] — T5: no 1/sqrt(dk) scale
-        scores = scores + bias_ref[hi]
-        scores = jnp.where(kv_mask[None, :], scores, NEG)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        o_ref[0, hi] = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, hi],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    """Grid (head_groups, B) — batch innermost, so the group's bias block
+    stays VMEM-resident while batch rows stream past it. q/k/v/o
+    [1, Hg, L, dk]; mask [B, L] int32 (full batch in VMEM — Mosaic
+    sublane rule, as in ops/flash_attention.py); bias [Hg, L, L] fp32."""
+    kv_mask = mask_ref[pl.program_id(1)] != 0  # [L]
+    # one BATCHED dot over the whole head group (batch dim = heads): a
+    # per-head unrolled loop costs ~4 us of issue overhead per head
+    # (measured 17.8 ms at 128x32x256 — no better than dense XLA);
+    # batching lets Mosaic pipeline MXU and VPU across heads
+    scores = jax.lax.dot_general(
+        q_ref[0],
+        k_ref[0],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Hg, L, L] — T5: no 1/sqrt(dk) scale
+    scores = scores + bias_ref[...]
+    scores = jnp.where(kv_mask[None, None, :], scores, NEG)
+    m = jnp.max(scores, axis=2, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,32 +87,47 @@ def short_attention_t5(
         bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
     mask = mask.astype(jnp.int32)
 
+    # Head-group split: all 32 XL heads at L=256 need ~16 MB of scoped
+    # VMEM (q/k/v/o 2 MB each + 8 MB fp32 bias) — past Mosaic's 16 MB
+    # budget. Pick the largest per-step head group whose working set fits;
+    # Mosaic double-buffers EVERY block, bias included (measured: hg=16
+    # was billed 18.24 MB = 2x the 9 MB single-buffered set), hence the
+    # factor of two on the whole sum.
+    hg = h
+    while hg > 1 and 2 * (
+        4 * hg * l_p * dk * q.dtype.itemsize
+        + hg * l_p * l_p * 4
+        + b * l_p * 4
+    ) > VMEM_BUDGET:
+        hg //= 2
+    n_groups = h // hg
+
     out = pl.pallas_call(
         _short_kernel,
-        grid=(b,),
+        grid=(n_groups, b),
         in_specs=[
             pl.BlockSpec(
-                (1, h, l_p, dk), lambda bi: (bi, 0, 0, 0),
+                (1, hg, l_p, dk), lambda gi, bi: (bi, gi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h, l_p, dk), lambda bi: (bi, 0, 0, 0),
+                (1, hg, l_p, dk), lambda gi, bi: (bi, gi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h, l_p, dk), lambda bi: (bi, 0, 0, 0),
+                (1, hg, l_p, dk), lambda gi, bi: (bi, gi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (b, l_p), lambda bi: (0, 0), memory_space=pltpu.VMEM
+                (b, l_p), lambda gi, bi: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (h, l_p, l_p), lambda bi: (0, 0, 0),
+                (hg, l_p, l_p), lambda gi, bi: (gi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, l_p, dk), lambda bi: (bi, 0, 0, 0),
+            (1, hg, l_p, dk), lambda gi, bi: (bi, gi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, l_p, dk), q.dtype),

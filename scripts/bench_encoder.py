@@ -50,7 +50,7 @@ def main():
         return t5.encode(params, ids, mask, config)
 
     for b, l in [(8, 1024), (16, 1024), (32, 1024), (16, 512), (64, 512),
-                 (128, 256)]:
+                 (128, 256), (256, 256), (512, 256)]:
         rng = np.random.RandomState(0)
         ids = jnp.asarray(rng.randint(3, 25, (b, l)).astype(np.int32))
         mask = jnp.ones((b, l), bool)

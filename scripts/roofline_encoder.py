@@ -171,7 +171,10 @@ def main():
         def run(params, acc, _cfg):
             def body(i, c):
                 a, n = c
-                out = t5.encode(params, ids, emask, _cfg)
+                # barrier: makes the encode depend on the carry so XLA
+                # cannot hoist it out of the loop (it did: 219% "MXU")
+                ids_i, a = jax.lax.optimization_barrier((ids, a))
+                out = t5.encode(params, ids_i, emask, _cfg)
                 return (a + out.astype(jnp.float32), n + 1)
             return jax.lax.fori_loop(0, reps, body, (acc, jnp.int32(0)))
 

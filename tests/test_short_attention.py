@@ -67,3 +67,27 @@ def test_encode_short_kernel_matches_dense_path():
         np.testing.assert_allclose(
             got[bi, m[bi]], want[bi, m[bi]], atol=2e-4, rtol=2e-4
         )
+
+
+def test_short_head_grouping_matches_ungrouped(monkeypatch):
+    """Shrinking the VMEM budget forces the (head_groups, B) grid split;
+    results must match the single-group path exactly."""
+    from knn_for_homology_tpu.ops import short_attention as sa
+
+    config = T5Config(num_heads=8, d_kv=32)
+    rng = np.random.RandomState(5)
+    b, h, l, dk = 3, 8, 96, 32  # distinct shape: avoids the jit cache
+    q = jnp.asarray(rng.randn(b, h, l, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, l, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, l, dk).astype(np.float32))
+    mask = np.ones((b, l), dtype=bool)
+    mask[1, 70:] = False
+    mask = jnp.asarray(mask)
+    rel = jnp.asarray(rng.randn(32, h).astype(np.float32) * 0.5)
+    bias = position_bias(rel, l, l, config)[0]
+    want = np.asarray(short_attention_t5(q, k, v, mask, bias))
+    monkeypatch.setattr(sa, "VMEM_BUDGET", 1)  # force hg=1 (8 groups)
+    sa.short_attention_t5.clear_cache()
+    got = np.asarray(sa.short_attention_t5(q, k, v, mask, bias))
+    sa.short_attention_t5.clear_cache()
+    np.testing.assert_array_equal(got, want)
