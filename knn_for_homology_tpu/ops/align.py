@@ -89,7 +89,7 @@ GAP_FIRST = {"blast": GAP_OPEN + GAP_EXT, "mmseqs": GAP_OPEN}
 KA_LAMBDA = 0.267
 KA_K = 0.041
 
-NEG = jnp.float32(-1e9)
+NEG = np.float32(-1e9)
 
 
 def encode_sequence(sequence: str, length: int) -> np.ndarray:

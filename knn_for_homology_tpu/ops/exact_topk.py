@@ -36,8 +36,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)
 
 
 def _ordered_bits(x: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)
 
 
 def projection_matrix(dim: int, nbits: int, seed: int = 1234) -> np.ndarray:

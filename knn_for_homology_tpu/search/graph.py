@@ -32,7 +32,7 @@ from ..config import SearchConfig
 from ..ops.distance import METRICS, finalize_scores, l2_normalize
 from ..ops.topk import flat_topk
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)
 
 
 @functools.partial(
