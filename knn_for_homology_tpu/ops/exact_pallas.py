@@ -136,19 +136,32 @@ def _segment_topr_kernel(
         cand_i = jnp.where(take, bi, cand_i)
 
 
-def _segment_packed_kernel(
-    nv_ref, q_ref, db_ref, buf_ref, *, r_slots, metric, n_db, precision, jbits
-):
-    """Approx-mode variant: ONE packed int32 per candidate slot.
-
-    Slot encoding: high (32-jbits) bits = the similarity's monotone
-    ordered-int representation truncated toward -inf; low jbits = the
-    REVERSED pass index (jmax - j), so an int32 compare orders by value
+def _pack_and_insert(buf_ref, sims, valid, j, r_slots, tile, jbits):
+    """Packed-slot encode + per-lane insertion (shared by the bf16 and sq8
+    packed kernels). Slot encoding: high (32-jbits) bits = the similarity's
+    monotone ordered-int representation truncated toward -inf; low jbits =
+    the REVERSED pass index (jmax - j), so an int32 compare orders by value
     first and by smaller-database-id on truncated-value ties — one compare
     + two selects per slot-step instead of the exact kernel's five ops, and
     4 state bytes per slot instead of 8. Values decode to within 2^jbits
     float32 ulps (n_tiles=128 -> ~1e-5 relative); the approx regime has no
     exactness certificate anyway, and ids are decoded exactly."""
+    jmax = np.int32((1 << jbits) - 1)
+    oi = _ordered_int(jax.lax.bitcast_convert_type(sims, jnp.int32))
+    cand = (oi & ~jmax) | (jmax - j)
+    cand = jnp.where(valid, cand, INT32_MIN)
+    for r in range(r_slots):
+        sl = slice(r * tile, (r + 1) * tile)
+        bv = buf_ref[:, sl]
+        take = cand > bv
+        buf_ref[:, sl] = jnp.where(take, cand, bv)
+        cand = jnp.where(take, bv, cand)
+
+
+def _segment_packed_kernel(
+    nv_ref, q_ref, db_ref, buf_ref, *, r_slots, metric, n_db, precision, jbits
+):
+    """Approx-mode variant: ONE packed int32 per candidate slot."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -160,17 +173,56 @@ def _segment_packed_kernel(
     sims, valid = _tile_sims(
         q, db, j, nv_ref, metric=metric, n_db=n_db, precision=precision
     )
-    tile = db.shape[0]
-    jmax = np.int32((1 << jbits) - 1)
-    oi = _ordered_int(jax.lax.bitcast_convert_type(sims, jnp.int32))
-    cand = (oi & ~jmax) | (jmax - j)
-    cand = jnp.where(valid, cand, INT32_MIN)
-    for r in range(r_slots):
-        sl = slice(r * tile, (r + 1) * tile)
-        bv = buf_ref[:, sl]
-        take = cand > bv
-        buf_ref[:, sl] = jnp.where(take, cand, bv)
-        cand = jnp.where(take, bv, cand)
+    _pack_and_insert(
+        buf_ref, sims, valid, j, r_slots, db.shape[0], jbits
+    )
+
+
+def _segment_packed_sq8_kernel(
+    nv_ref, q_ref, db_ref, sc_ref, buf_ref, *, r_slots, metric, n_db, jbits
+):
+    """SQ8 storage variant: the database streams as int8 rows + one f32
+    dequant scale per row (FAISS IndexScalarQuantizer SQ8's storage), so
+    HBM traffic per pass HALVES vs bf16 — the engine's bandwidth wall.
+    The tile is cast int8→bf16 on the VPU (exact: |q|≤127) and scored on
+    the MXU; the scale multiplies the f32 similarity column (dot(q, s·v) =
+    s·dot(q, v)). Dot noise grows only ~1.4× vs bf16 storage (per-row-max
+    quantisation error vs bf16's per-element rounding), spent from the
+    same Poisson slot budget as the bf16 kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        buf_ref[:] = jnp.full_like(buf_ref, INT32_MIN)
+
+    q = q_ref[:]
+    dbf = db_ref[:].astype(jnp.bfloat16)
+    sc = sc_ref[:]  # [1, tile] f32 per-row dequant scales
+    dots = jax.lax.dot_general(
+        q,
+        dbf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sims = dots * sc
+    if metric == "l2":
+        q_sq = jnp.sum(
+            jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True
+        )
+        d_sq = (
+            jnp.sum(
+                jnp.square(dbf.astype(jnp.float32)), axis=1, keepdims=True
+            ).T
+            * sc
+            * sc
+        )
+        sims = 2.0 * sims - q_sq - d_sq
+    tile = dbf.shape[0]
+    col_ids = j * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (q.shape[0], tile), 1
+    )
+    valid = col_ids < jnp.minimum(n_db, nv_ref[0])
+    _pack_and_insert(buf_ref, sims, valid, j, r_slots, tile, jbits)
 
 
 @functools.partial(
@@ -394,8 +446,10 @@ def _packed_candidates_topk(
         ),
         interpret=interpret,
     )(nv, q_p, db_p)
-    buf = buf[:q_n]
+    return _decode_packed(buf[:q_n], k, db_tile, jbits)
 
+
+def _decode_packed(buf, k, db_tile, jbits):
     # Single-key int32 top-k replaces the exact path's two-key sort: the
     # packed encoding already orders (value desc, earlier pass first).
     packed, pos = jax.lax.top_k(buf, k)
@@ -415,8 +469,71 @@ def _packed_candidates_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "k", "r_slots", "metric", "db_tile", "query_block", "interpret",
+    ),
+)
+def _packed_candidates_topk_sq8(
+    db_i8, sc_tiles, queries, k, r_slots, metric, db_tile, query_block,
+    interpret, n_valid=None,
+):
+    """SQ8 packed kernel + shared epilogue. `db_i8` [N, d] int8 (rows
+    already padded to db_tile), `sc_tiles` [1, N] f32 per-row dequant
+    scales (a 1-row layout: Mosaic accepts a (1, db_tile) block only when
+    the sublane dim equals the whole array's; pad rows carry scale 1 and
+    are masked via n_valid)."""
+    n, d = db_i8.shape
+    q_n = queries.shape[0]
+
+    q_p = pad_rows(queries, query_block).astype(jnp.bfloat16)
+    n_tiles = n // db_tile
+    jbits = max(1, (n_tiles - 1).bit_length())
+    grid = (q_p.shape[0] // query_block, n_tiles)
+    width = r_slots * db_tile
+
+    nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
+    kernel = functools.partial(
+        _segment_packed_sq8_kernel,
+        r_slots=r_slots, metric=metric, n_db=n, jbits=jbits,
+    )
+    buf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (query_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, db_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (query_block, width), lambda i, j: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_p.shape[0] * n * d,
+            bytes_accessed=(
+                q_p.shape[0] * d * 2
+                + grid[0] * n * (d + 4)
+                + q_p.shape[0] * width * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, q_p, db_i8, sc_tiles)
+    return _decode_packed(buf[:q_n], k, db_tile, jbits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "k", "metric", "db_tile", "query_block", "interpret",
-        "highest_precision", "recall_target",
+        "highest_precision", "recall_target", "storage",
     ),
 )
 def packed_pallas_topk(
@@ -430,6 +547,7 @@ def packed_pallas_topk(
     interpret: bool = None,
     highest_precision: bool = None,
     recall_target: float = 0.95,
+    storage: str = "native",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate top-k via the packed segment-top-R kernel (the flat
     engine's production regime — the role FAISS HNSW/LSH play in the
@@ -439,7 +557,12 @@ def packed_pallas_topk(
     `recall_target` (r_for_recall). Returned values carry the packed
     encoding's truncation (< 2^jbits f32 ulps, ~1e-5 relative at the
     headline shape); ids are exact for the candidates kept. Safe under
-    jit/shard_map; `n_valid` masks pad rows on sharded callers."""
+    jit/shard_map; `n_valid` masks pad rows on sharded callers.
+
+    `storage="sq8"` streams the database as int8 rows + per-row f32
+    dequant scales (FAISS SQ8): HALF the HBM traffic per database pass on
+    this restream-bound engine, at ~1.4× the bf16 dot noise (returned
+    values then carry the quantisation error too)."""
     db = jnp.asarray(db)
     queries = jnp.asarray(queries)
     n, d = db.shape
@@ -458,16 +581,39 @@ def packed_pallas_topk(
         # keeps >= ~20 bits of value precision.
         db_tile = max(256, _round_up(n // 4096, 128) if n > 2**20 else 256)
     k_eff = min(k, n)
+    sq8 = storage == "sq8"
+    if storage not in ("native", "sq8"):
+        raise ValueError(f"unknown storage {storage!r}")
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, DEFAULT_R, False, recall_target,
-        db.dtype.itemsize,
+        1 if sq8 else db.dtype.itemsize,
     )
+    if sq8:
+        if db.dtype == jnp.int8:
+            raise ValueError(
+                "storage='sq8' quantises internally; pass the float database"
+            )
+        from .graph_pallas import quantize_int8
+
+        db_i8, scales = quantize_int8(db.astype(jnp.float32))
+        db_i8 = pad_rows(db_i8, db_tile)
+        n_pad = db_i8.shape[0]
+        sc_tiles = jnp.pad(
+            scales, (0, n_pad - n), constant_values=1.0
+        ).reshape(1, n_pad)
+        nv_sq8 = jnp.asarray(n, jnp.int32) if n_valid is None else n_valid
     vals_out, ids_out = [], []
     for s in range(0, q_n, max_block):
-        vals, ids = _packed_candidates_topk(
-            db, queries[s : s + max_block], k_eff, r_slots, metric, db_tile,
-            query_block, interpret, highest_precision, n_valid,
-        )
+        if sq8:
+            vals, ids = _packed_candidates_topk_sq8(
+                db_i8, sc_tiles, queries[s : s + max_block], k_eff, r_slots,
+                metric, db_tile, query_block, interpret, nv_sq8,
+            )
+        else:
+            vals, ids = _packed_candidates_topk(
+                db, queries[s : s + max_block], k_eff, r_slots, metric,
+                db_tile, query_block, interpret, highest_precision, n_valid,
+            )
         vals_out.append(vals)
         ids_out.append(ids)
     vals = (

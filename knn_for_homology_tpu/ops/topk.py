@@ -163,6 +163,7 @@ def flat_topk(
     recall_target: float = 0.95,
     db_tile: int = 8192,
     query_block: int = 4096,
+    storage: str = "native",
 ):
     """Strategy dispatcher: blocks queries on the host, picks one-shot vs
     streaming per block by similarity-buffer size. Returns (sims, ids) with
@@ -172,6 +173,10 @@ def flat_topk(
     kernel (ops/exact_pallas.py) — `lax.top_k`'s full-row sort is the
     exact-mode bottleneck (measured 0.96 s per [4096, 131072] block, the
     whole budget); small k stays with the flat_pallas kernel via FlatIndex.
+
+    `storage="sq8"` (approx only): stream the database as int8 + per-row
+    scales through the packed kernel — half the HBM traffic of bf16 on the
+    restream-bound engine (FAISS SQ8's storage/recall trade).
     """
     db = jnp.asarray(db)
     queries = jnp.asarray(queries)
@@ -182,6 +187,20 @@ def flat_topk(
             jnp.zeros((0, k), jnp.float32),
             jnp.zeros((0, k), jnp.int32),
         )
+    if storage == "sq8":
+        if not approx:
+            raise ValueError(
+                "storage='sq8' is an approx-mode storage (quantised scores"
+                " carry no exactness certificate)"
+            )
+        from .exact_pallas import packed_pallas_topk
+
+        return packed_pallas_topk(
+            db, queries, k, metric=metric, recall_target=recall_target,
+            storage="sq8",
+        )
+    if storage != "native":
+        raise ValueError(f"unknown storage {storage!r}")
     if (
         k > 32
         and db.shape[1] % 128 == 0

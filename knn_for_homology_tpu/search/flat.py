@@ -12,6 +12,9 @@ Backends:
   * "pallas" — fused distance+top-k kernel (ops/flat_pallas.py), k ≤ 32, TPU
   * "xla"    — streaming scan+top_k merge (ops/topk.py), any k, any platform
   * "approx" — streaming scan with jax.lax.approx_max_k (TPU-KNN style)
+  * "sq8"    — approx packed segment-top-R over int8 storage + per-row
+               dequant scales (FAISS IndexScalarQuantizer SQ8's trade):
+               half the HBM stream of bf16 on the restream-bound engine
 """
 
 import time
@@ -108,8 +111,9 @@ class FlatIndex:
                 k,
                 metric=self.metric,
                 db_tile=self.config.db_tile,
-                approx=(backend == "approx"),
+                approx=(backend in ("approx", "sq8")),
                 recall_target=self.config.recall_target,
+                storage="sq8" if backend == "sq8" else "native",
             )
         scores = finalize_scores(sims, self.metric)
         return np.asarray(scores), np.asarray(ids)

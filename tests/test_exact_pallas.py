@@ -196,3 +196,69 @@ def test_flat_topk_traceable_under_jit():
     want_v, want_i = jax.lax.top_k(jnp.asarray(q @ db.T), 40)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_i))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
+
+
+def test_sq8_storage_recall_and_decode():
+    # SQ8 streams int8 rows + per-row scales: ids decode exactly, recall
+    # stays in the Poisson band despite quantisation noise, and values
+    # carry the dequant scale (match fp32 sims to ~1%-of-norm).
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    key = jax.random.PRNGKey(0)
+    db = l2_normalize(jax.random.normal(key, (4096, 256), jnp.float32))
+    q = db[:256]
+    k = 100
+    _, exact_ids = jax.lax.top_k(q @ db.T, k)
+    vals, ids = packed_pallas_topk(
+        db, q, k, metric="cosine", storage="sq8", recall_target=0.98
+    )
+    ids_np, exact_np = np.asarray(ids), np.asarray(exact_ids)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(ids_np, exact_np)
+        ]
+    )
+    assert rec >= 0.97
+    # self-hit must survive quantisation (largest sim by a margin)
+    np.testing.assert_array_equal(ids_np[:, 0], np.arange(256))
+    # returned values ≈ true similarities of the returned ids
+    true_vals = np.take_along_axis(np.asarray(q @ db.T), ids_np, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), true_vals, atol=2e-2)
+
+
+def test_sq8_storage_l2_metric():
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    rng = np.random.RandomState(3)
+    db = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
+    q = db[:64]
+    k = 50
+    d2 = (
+        -2.0 * (q @ db.T)
+        + jnp.sum(db * db, 1)[None, :]
+        + jnp.sum(q * q, 1)[:, None]
+    )
+    _, exact_ids = jax.lax.top_k(-d2, k)
+    _, ids = packed_pallas_topk(db, q, k, metric="l2", storage="sq8")
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(np.asarray(ids), np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.95
+
+
+def test_sq8_rejects_prequantized_and_unknown_storage():
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    db8 = jnp.zeros((256, 128), jnp.int8)
+    q = jnp.zeros((4, 128), jnp.float32)
+    with pytest.raises(ValueError, match="quantises internally"):
+        packed_pallas_topk(db8, q, 5, storage="sq8")
+    with pytest.raises(ValueError, match="unknown storage"):
+        packed_pallas_topk(
+            jnp.zeros((256, 128), jnp.float32), q, 5, storage="int4"
+        )
