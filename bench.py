@@ -50,8 +50,9 @@ def main() -> None:
     )
     parser.add_argument(
         "--modes",
-        default="approx,exact",
-        help="comma list; the first named mode is the headline metric",
+        default="approx,exact,sq8-sym",
+        help="comma list of approx|exact|sq8|sq8-sym; the first named mode"
+        " is the headline metric",
     )
     parser.add_argument(
         "--quick", action="store_true", help="tiny smoke-test shapes (CPU ok)"
@@ -94,7 +95,18 @@ def main() -> None:
     ).astype(dtype)
     jax.block_until_ready(db)
 
-    def run(approx: bool):
+    # mode name → (approx, storage) for flat_topk; sq8/sq8-sym are the
+    # int8-storage regimes (FAISS SQ8: half the db bytes; -sym also scores
+    # on the MXU's native int8 path)
+    MODE_ARGS = {
+        "approx": (True, "native"),
+        "exact": (False, "native"),
+        "sq8": (True, "sq8"),
+        "sq8-sym": (True, "sq8-sym"),
+    }
+
+    def run(mode: str):
+        approx, storage = MODE_ARGS[mode]
         sims, ids = flat_topk(
             db,
             db,  # all-vs-all: rows already normalised → cosine via ip
@@ -102,6 +114,7 @@ def main() -> None:
             metric="ip",
             approx=approx,
             recall_target=args.recall_target,
+            storage=storage,
         )
         jax.block_until_ready(ids)
         # tiny fetch forces full sync even if block_until_ready is lazy
@@ -117,28 +130,31 @@ def main() -> None:
     stats = {}
     ids_by_mode = {}
     for mode in modes:
-        approx = mode == "approx"
-        run(approx)  # warmup + compile
+        run(mode)  # warmup + compile
         start = time.time()
-        with jax_profile(args.profile_dir if approx else None):
-            ids_by_mode[mode] = run(approx)
+        with jax_profile(args.profile_dir if mode == modes[0] else None):
+            ids_by_mode[mode] = run(mode)
         stats[mode] = time.time() - start
 
-    recall = None
-    if "approx" in stats:
-        # recall vs exact top-k on a query subsample
-        sub = min(2048, args.n)
-        if "exact" in ids_by_mode:
-            exact_ids = ids_by_mode["exact"][:sub]
-        else:
-            _, exact_ids = flat_topk(db, db[:sub], args.k, metric="ip")
-        got = np.asarray(ids_by_mode["approx"][:sub])
-        want = np.asarray(exact_ids)
-        recall = float(
+    # recall vs exact top-k on a query subsample, for every approx regime
+    sub = min(2048, args.n)
+    exact_ids = None
+    recalls = {}
+    for mode in modes:
+        if not MODE_ARGS[mode][0]:
+            continue
+        if exact_ids is None:
+            if "exact" in ids_by_mode:
+                exact_ids = np.asarray(ids_by_mode["exact"][:sub])
+            else:
+                _, e = flat_topk(db, db[:sub], args.k, metric="ip")
+                exact_ids = np.asarray(e)
+        got = np.asarray(ids_by_mode[mode][:sub])
+        recalls[mode] = float(
             np.mean(
                 [
                     len(set(a.tolist()) & set(b.tolist())) / args.k
-                    for a, b in zip(got, want)
+                    for a, b in zip(got, exact_ids)
                 ]
             )
         )
@@ -155,8 +171,11 @@ def main() -> None:
         qps = args.n / stats[mode]
         result[f"{mode}_qps"] = round(qps, 2)
         result[f"{mode}_vs_baseline"] = round(qps / reference_qps, 2)
-    if recall is not None:
-        result["recall_vs_exact"] = round(recall, 4)
+    if head in recalls:
+        result["recall_vs_exact"] = round(recalls[head], 4)
+    for mode, rec in recalls.items():
+        if mode != head:
+            result[f"{mode}_recall"] = round(rec, 4)
     print(json.dumps(result))
 
 

@@ -225,6 +225,39 @@ def _segment_packed_sq8_kernel(
     _pack_and_insert(buf_ref, sims, valid, j, r_slots, tile, jbits)
 
 
+def _segment_packed_sq8sym_kernel(
+    nv_ref, q_ref, db_ref, sc_ref, buf_ref, *, r_slots, n_db, jbits
+):
+    """Symmetric int8 variant (ip/cosine only): queries are ALSO int8, so
+    the MXU runs its native int8×int8→int32 path at 2× the bf16 MAC rate
+    — the compute wall once SQ8 removed the bandwidth one. The per-QUERY
+    dequant scale is a positive per-row factor, so it cannot change any
+    row's candidate ranking and is applied to the decoded top-k values in
+    the epilogue, not here; only the per-db-row scale (per column — rank-
+    relevant) multiplies in-kernel. l2 needs the query scale inside the
+    2qd−|q|²−|d|² combination, so it stays on the asymmetric kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        buf_ref[:] = jnp.full_like(buf_ref, INT32_MIN)
+
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sc = sc_ref[:]  # [1, tile] f32 per-db-row dequant scales
+    sims = dots.astype(jnp.float32) * sc
+    tile = db_ref.shape[0]
+    col_ids = j * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (sims.shape[0], tile), 1
+    )
+    valid = col_ids < jnp.minimum(n_db, nv_ref[0])
+    _pack_and_insert(buf_ref, sims, valid, j, r_slots, tile, jbits)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -470,31 +503,45 @@ def _decode_packed(buf, k, db_tile, jbits):
     jax.jit,
     static_argnames=(
         "k", "r_slots", "metric", "db_tile", "query_block", "interpret",
+        "sym",
     ),
 )
 def _packed_candidates_topk_sq8(
     db_i8, sc_tiles, queries, k, r_slots, metric, db_tile, query_block,
-    interpret, n_valid=None,
+    interpret, n_valid=None, sym=False,
 ):
     """SQ8 packed kernel + shared epilogue. `db_i8` [N, d] int8 (rows
     already padded to db_tile), `sc_tiles` [1, N] f32 per-row dequant
     scales (a 1-row layout: Mosaic accepts a (1, db_tile) block only when
     the sublane dim equals the whole array's; pad rows carry scale 1 and
-    are masked via n_valid)."""
+    are masked via n_valid). `sym` quantises the queries too and scores
+    on the int8 MXU path (ip/cosine only)."""
     n, d = db_i8.shape
     q_n = queries.shape[0]
 
-    q_p = pad_rows(queries, query_block).astype(jnp.bfloat16)
+    if sym:
+        from .graph_pallas import quantize_int8
+
+        q8, qsc = quantize_int8(queries.astype(jnp.float32))
+        q_p = pad_rows(q8, query_block)
+    else:
+        q_p = pad_rows(queries, query_block).astype(jnp.bfloat16)
     n_tiles = n // db_tile
     jbits = max(1, (n_tiles - 1).bit_length())
     grid = (q_p.shape[0] // query_block, n_tiles)
     width = r_slots * db_tile
 
     nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
-    kernel = functools.partial(
-        _segment_packed_sq8_kernel,
-        r_slots=r_slots, metric=metric, n_db=n, jbits=jbits,
-    )
+    if sym:
+        kernel = functools.partial(
+            _segment_packed_sq8sym_kernel,
+            r_slots=r_slots, n_db=n, jbits=jbits,
+        )
+    else:
+        kernel = functools.partial(
+            _segment_packed_sq8_kernel,
+            r_slots=r_slots, metric=metric, n_db=n, jbits=jbits,
+        )
     buf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -518,7 +565,7 @@ def _packed_candidates_topk_sq8(
         cost_estimate=pl.CostEstimate(
             flops=2 * q_p.shape[0] * n * d,
             bytes_accessed=(
-                q_p.shape[0] * d * 2
+                q_p.shape[0] * d * (1 if sym else 2)
                 + grid[0] * n * (d + 4)
                 + q_p.shape[0] * width * 4
             ),
@@ -526,7 +573,12 @@ def _packed_candidates_topk_sq8(
         ),
         interpret=interpret,
     )(nv, q_p, db_i8, sc_tiles)
-    return _decode_packed(buf[:q_n], k, db_tile, jbits)
+    vals, ids = _decode_packed(buf[:q_n], k, db_tile, jbits)
+    if sym:
+        # per-query dequant scale: rank-neutral, folded in after decode
+        # (-inf empty slots stay -inf under a positive scale)
+        vals = vals * qsc[:, None]
+    return vals, ids
 
 
 @functools.partial(
@@ -562,7 +614,10 @@ def packed_pallas_topk(
     `storage="sq8"` streams the database as int8 rows + per-row f32
     dequant scales (FAISS SQ8): HALF the HBM traffic per database pass on
     this restream-bound engine, at ~1.4× the bf16 dot noise (returned
-    values then carry the quantisation error too)."""
+    values then carry the quantisation error too). `"sq8-sym"` quantises
+    the queries too and scores on the MXU's native int8×int8→int32 path
+    at 2× the bf16 MAC rate (ip/cosine; l2 silently uses the asymmetric
+    kernel)."""
     db = jnp.asarray(db)
     queries = jnp.asarray(queries)
     n, d = db.shape
@@ -581,9 +636,15 @@ def packed_pallas_topk(
         # keeps >= ~20 bits of value precision.
         db_tile = max(256, _round_up(n // 4096, 128) if n > 2**20 else 256)
     k_eff = min(k, n)
-    sq8 = storage == "sq8"
-    if storage not in ("native", "sq8"):
+    sq8 = storage in ("sq8", "sq8-sym")
+    sym = storage == "sq8-sym"
+    if storage not in ("native", "sq8", "sq8-sym"):
         raise ValueError(f"unknown storage {storage!r}")
+    if sym and metric == "l2":
+        # the query scale enters l2's 2qd−|q|²−|d|² combination per row —
+        # not a rank-neutral epilogue factor — so l2 keeps the asymmetric
+        # kernel (bf16 queries, int8 db)
+        sym = False
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, DEFAULT_R, False, recall_target,
         1 if sq8 else db.dtype.itemsize,
@@ -607,7 +668,7 @@ def packed_pallas_topk(
         if sq8:
             vals, ids = _packed_candidates_topk_sq8(
                 db_i8, sc_tiles, queries[s : s + max_block], k_eff, r_slots,
-                metric, db_tile, query_block, interpret, nv_sq8,
+                metric, db_tile, query_block, interpret, nv_sq8, sym=sym,
             )
         else:
             vals, ids = _packed_candidates_topk(

@@ -187,7 +187,7 @@ def flat_topk(
             jnp.zeros((0, k), jnp.float32),
             jnp.zeros((0, k), jnp.int32),
         )
-    if storage == "sq8":
+    if storage in ("sq8", "sq8-sym"):
         if not approx:
             raise ValueError(
                 "storage='sq8' is an approx-mode storage (quantised scores"
@@ -197,7 +197,7 @@ def flat_topk(
 
         return packed_pallas_topk(
             db, queries, k, metric=metric, recall_target=recall_target,
-            storage="sq8",
+            storage=storage,
         )
     if storage != "native":
         raise ValueError(f"unknown storage {storage!r}")

@@ -24,7 +24,8 @@ def main():
     p.add_argument("--n", type=int, default=131072)
     p.add_argument("--d", type=int, default=1024)
     p.add_argument("--k", type=int, default=1000)
-    p.add_argument("--modes", default="approx,exact")
+    p.add_argument("--modes", default="approx,exact",
+                   help="comma list: approx | exact | sq8 | sq8-sym")
     p.add_argument("--vmem-budget-mb", type=float, default=None,
                    help="override the planner budget (probe Mosaic's real cap)")
     p.add_argument("--configs", default=None,
@@ -78,15 +79,16 @@ def main():
             label = dict(mode=mode, db_tile=tile, query_block=qb, recall_target=rt)
             try:
                 def run():
-                    if mode == "approx":
-                        vals, ids = ep.packed_pallas_topk(
-                            db, db, args.k, metric="ip", db_tile=tile,
-                            query_block=qb, recall_target=rt,
-                        )
-                    else:
+                    if mode == "exact":
                         vals, ids = ep.exact_pallas_topk(
                             db, db, args.k, metric="ip", db_tile=tile,
                             query_block=qb,
+                        )
+                    else:
+                        vals, ids = ep.packed_pallas_topk(
+                            db, db, args.k, metric="ip", db_tile=tile,
+                            query_block=qb, recall_target=rt,
+                            storage="native" if mode == "approx" else mode,
                         )
                     jax.block_until_ready(ids)
                     np.asarray(ids[:1, :1])
@@ -103,7 +105,7 @@ def main():
                     seconds=round(secs, 3),
                     compile_s=round(compile_s, 1),
                 )
-                if mode == "approx":
+                if mode != "exact":
                     label["recall"] = round(recall(ids), 4)
             except Exception as exc:  # Mosaic OOM etc.
                 label["error"] = str(exc)[:300]

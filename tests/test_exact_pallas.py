@@ -262,3 +262,56 @@ def test_sq8_rejects_prequantized_and_unknown_storage():
         packed_pallas_topk(
             jnp.zeros((256, 128), jnp.float32), q, 5, storage="int4"
         )
+
+
+def test_sq8_sym_storage_matches_and_scales_values():
+    # symmetric int8: recall in band, epilogue applies the per-query scale
+    # so returned values still approximate true similarities
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    key = jax.random.PRNGKey(1)
+    db = l2_normalize(jax.random.normal(key, (4096, 256), jnp.float32))
+    # un-normalised queries exercise the per-query dequant scale
+    q = db[:128] * jnp.linspace(0.5, 3.0, 128)[:, None]
+    k = 100
+    sims_true = np.asarray(q @ db.T)
+    _, exact_ids = jax.lax.top_k(q @ db.T, k)
+    vals, ids = packed_pallas_topk(
+        db, q, k, metric="ip", storage="sq8-sym", recall_target=0.98
+    )
+    ids_np = np.asarray(ids)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(ids_np, np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.97
+    true_vals = np.take_along_axis(sims_true, ids_np, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), true_vals, atol=5e-2)
+
+
+def test_sq8_sym_l2_falls_back_to_asymmetric():
+    # l2 cannot fold the query scale into the epilogue; the sym request
+    # must still return correct l2 neighbours (via the asymmetric kernel)
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    rng = np.random.RandomState(7)
+    db = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
+    q = db[:64]
+    k = 50
+    d2 = (
+        -2.0 * (q @ db.T)
+        + jnp.sum(db * db, 1)[None, :]
+        + jnp.sum(q * q, 1)[:, None]
+    )
+    _, exact_ids = jax.lax.top_k(-d2, k)
+    _, ids = packed_pallas_topk(db, q, k, metric="l2", storage="sq8-sym")
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(np.asarray(ids), np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.95
