@@ -63,10 +63,12 @@ class ShardedFlatIndex:
         mesh: Mesh,
         metric: str = "cosine",
         dtype=np.float32,
+        storage: str = "native",  # "sq8"/"sq8-sym": int8 shard scans
     ):
         self.mesh = mesh
         self.metric = metric
         self.dtype = dtype
+        self.storage = storage
         self._chunks: List[np.ndarray] = []
         self._db = None  # device array after finalize()
         self._n = 0
@@ -132,6 +134,8 @@ class ShardedFlatIndex:
             flat_mesh,
             metric=search_metric,
             n_valid=self.ntotal,  # _db arrives pre-padded from finalize()
+            approx=self.storage != "native",
+            storage=self.storage,
         )
         return np.asarray(finalize_scores(sims, search_metric)), np.asarray(ids)
 

@@ -75,11 +75,28 @@ def _pallas_route_enabled() -> bool:
     return _ROUTE_DECISION[0]
 
 
-def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
+def _local_topk(
+    db_shard, q, k, metric, db_tile, approx, n_valid=None, storage="native"
+):
     """Trace-time strategy pick for the shard-local search (see ops/topk.py:
     one-shot is much faster whenever the [Q, shard] block fits). `n_valid`
     masks this shard's pad rows BEFORE selection — a pad row's 0-vector can
-    outscore real rows (negative cosines; l2 distance to the origin)."""
+    outscore real rows (negative cosines; l2 distance to the origin).
+
+    `storage="sq8"/"sq8-sym"` (approx only) scans the shard as int8 + per-
+    row dequant scales — per-ROW quantisation is shard-local, so every
+    row's sq8 score matches the unsharded scan exactly (tail selection may
+    differ via the per-shard packed truncation bits, as in any approx
+    regime); per-chip HBM for the database halves (2× corpus per pod)."""
+    if storage != "native":
+        if not approx:
+            raise ValueError("sq8 storage is approx-only (no certificate)")
+        from ..ops.exact_pallas import packed_pallas_topk
+
+        return packed_pallas_topk(
+            db_shard, q, k, metric=metric, n_valid=n_valid, storage=storage,
+            interpret=jax.default_backend() != "tpu",
+        )
     if (
         k > 32
         and db_shard.shape[1] % 128 == 0
@@ -104,7 +121,9 @@ def _local_topk(db_shard, q, k, metric, db_tile, approx, n_valid=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "mesh", "db_tile", "approx", "n_valid"),
+    static_argnames=(
+        "k", "metric", "mesh", "db_tile", "approx", "n_valid", "storage",
+    ),
 )
 def db_sharded_topk(
     db: jnp.ndarray,
@@ -115,6 +134,7 @@ def db_sharded_topk(
     db_tile: int = 8192,
     approx: bool = False,
     n_valid: int = None,
+    storage: str = "native",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k with the database sharded over the mesh's data axis.
 
@@ -136,6 +156,7 @@ def db_sharded_topk(
         sims, ids = _local_topk(
             db_shard, q, min(k, shard_rows), metric,
             min(db_tile, shard_rows), approx, n_valid=n_local,
+            storage=storage,
         )
         gids = jnp.where(ids >= 0, ids + row0, -1)
         valid = (gids >= 0) & (gids < n)
@@ -165,7 +186,8 @@ def db_sharded_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "mesh", "db_tile", "approx")
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "db_tile", "approx", "storage"),
 )
 def query_sharded_topk(
     db: jnp.ndarray,
@@ -175,6 +197,7 @@ def query_sharded_topk(
     metric: str = "cosine",
     db_tile: int = 8192,
     approx: bool = False,
+    storage: str = "native",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k with queries sharded, database replicated. Q is padded to the
     axis size; padded query rows are dropped before returning."""
@@ -183,7 +206,9 @@ def query_sharded_topk(
     q_p = pad_rows(queries, n_shards)
 
     def local(db_rep, q_shard):
-        return _local_topk(db_rep, q_shard, k, metric, db_tile, approx)
+        return _local_topk(
+            db_rep, q_shard, k, metric, db_tile, approx, storage=storage
+        )
 
     sims, ids = shard_map(
         local,

@@ -131,3 +131,29 @@ def test_shard_sweep_one_chip(tmp_path):
     # merged scores descend and ids are global
     assert (np.diff(scores, axis=1) <= 1e-6).all()
     assert ids.max() < shards * rows and ids.min() >= 0
+
+
+def test_sharded_flat_index_sq8_storage():
+    # int8 shard scans: self-hits win, recall vs the native path in band
+    import jax
+
+    from knn_for_homology_tpu.parallel.mesh import make_mesh
+    from knn_for_homology_tpu.parallel.scale import ShardedFlatIndex
+
+    mesh = make_mesh(jax.device_count())
+    rng = np.random.RandomState(5)
+    db = rng.randn(700, 128).astype(np.float32)
+    ref = ShardedFlatIndex(mesh, metric="cosine").add(db).finalize()
+    sq8 = ShardedFlatIndex(mesh, metric="cosine", storage="sq8-sym").add(
+        db
+    ).finalize()
+    s_ref, i_ref = ref.search(db[:40], 20)
+    s_sq8, i_sq8 = sq8.search(db[:40], 20)
+    np.testing.assert_array_equal(i_sq8[:, 0], np.arange(40))
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 20
+            for a, b in zip(i_sq8, i_ref)
+        ]
+    )
+    assert rec >= 0.95

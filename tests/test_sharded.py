@@ -113,3 +113,57 @@ def test_pallas_route_modes(monkeypatch):
     monkeypatch.setenv("KNN_TPU_SHARDED_PALLAS", "auto")
     monkeypatch.setattr(sharded, "_ROUTE_DECISION", None)
     assert sharded._pallas_route_enabled() is False
+
+
+@pytest.mark.parametrize("storage", ["sq8", "sq8-sym"])
+def test_db_sharded_sq8_finds_true_neighbours(mesh8, storage):
+    # per-ROW quantisation is shard-local, so each row's sq8 SCORE is
+    # identical sharded or not; the packed encoding's truncation bits
+    # (jbits from the per-shard tile count) differ though, so tail
+    # selection may legitimately diverge like any approx engine. Assert
+    # the quality contract instead: self-hits win and recall vs the exact
+    # scan stays in band.
+    rng = np.random.RandomState(21)
+    db = rng.randn(1030, 128).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = jnp.asarray(db[:64])
+    db = jnp.asarray(db)
+    k = 40
+    sims, ids = db_sharded_topk(
+        db, q, k, mesh8, metric="ip", approx=True, storage=storage
+    )
+    ids_np = np.asarray(ids)
+    np.testing.assert_array_equal(ids_np[:, 0], np.arange(64))
+    _, exact_ids = streaming_topk(db, q, k, "ip")
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(ids_np, np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.95
+
+
+def test_query_sharded_sq8_matches_unsharded(mesh8):
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    rng = np.random.RandomState(22)
+    db = rng.randn(512, 128).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = jnp.asarray(db[:48])  # not divisible by 8 after padding split
+    db = jnp.asarray(db)
+    k = 20
+    ref_vals, ref_ids = packed_pallas_topk(
+        db, q, k, metric="ip", storage="sq8-sym"
+    )
+    sims, ids = query_sharded_topk(
+        db, q, k, mesh8, metric="ip", approx=True, storage="sq8-sym"
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_sharded_sq8_rejects_exact_mode(mesh8):
+    db = jnp.zeros((64, 128), jnp.float32)
+    q = jnp.zeros((8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="approx-only"):
+        db_sharded_topk(db, q, 5, mesh8, approx=False, storage="sq8")
