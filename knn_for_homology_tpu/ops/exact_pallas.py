@@ -55,6 +55,38 @@ DEFAULT_R = 8
 INT32_MIN = np.int32(-(2**31))
 
 
+class SQ8Database:
+    """Pre-quantised database for the sq8 storage modes: int8 rows +
+    per-row f32 dequant scales (quantize_database). Passing one of these
+    as `db` lets repeated searches skip the per-call quantisation passes
+    (several full-database sweeps of HBM traffic). Registered as a pytree
+    with the row count STATIC so kernel planning stays shape-static under
+    jit."""
+
+    def __init__(self, db_i8, scales, n: int):
+        self.db_i8 = db_i8
+        self.scales = scales
+        self.n = n
+
+
+jax.tree_util.register_pytree_node(
+    SQ8Database,
+    lambda x: ((x.db_i8, x.scales), x.n),
+    lambda n, children: SQ8Database(children[0], children[1], n),
+)
+
+
+def quantize_database(db) -> SQ8Database:
+    """Symmetric per-row int8 quantisation of a float database — do this
+    once and pass the result to packed_pallas_topk / FlatIndex for
+    repeated sq8 searches."""
+    from .graph_pallas import quantize_int8
+
+    db = jnp.asarray(db)
+    q8, scales = quantize_int8(db.astype(jnp.float32))
+    return SQ8Database(q8, scales, db.shape[0])
+
+
 def _ordered_int(u: jnp.ndarray) -> jnp.ndarray:
     """Monotone float32-bits -> int32 map (involution): the int32 ordering
     of the result equals the float ordering of the input bits. Positive
@@ -617,17 +649,25 @@ def packed_pallas_topk(
     values then carry the quantisation error too). `"sq8-sym"` quantises
     the queries too and scores on the MXU's native int8×int8→int32 path
     at 2× the bf16 MAC rate (ip/cosine; l2 silently uses the asymmetric
-    kernel)."""
-    db = jnp.asarray(db)
+    kernel). Repeated-search callers can pass `db` as an `SQ8Database`
+    (quantize_database) to skip the per-call quantisation passes."""
+    prequant = isinstance(db, SQ8Database)
+    if prequant:
+        if storage == "native":
+            storage = "sq8-sym" if metric != "l2" else "sq8"
+        n = db.n
+        d = db.db_i8.shape[1]
+    else:
+        db = jnp.asarray(db)
+        n, d = db.shape
     queries = jnp.asarray(queries)
-    n, d = db.shape
     q_n = queries.shape[0]
     if q_n == 0:
         return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if highest_precision is None:
-        highest_precision = db.dtype == jnp.float32
+        highest_precision = not prequant and db.dtype == jnp.float32
     if db_tile is None:
         # narrow segments keep the per-query state small (the query block
         # then grows — the engine is db-restream-bound; v5e sweep: W=256/
@@ -650,13 +690,17 @@ def packed_pallas_topk(
         1 if sq8 else db.dtype.itemsize,
     )
     if sq8:
-        if db.dtype == jnp.int8:
-            raise ValueError(
-                "storage='sq8' quantises internally; pass the float database"
-            )
-        from .graph_pallas import quantize_int8
+        if prequant:
+            db_i8, scales = db.db_i8, db.scales
+        else:
+            if db.dtype == jnp.int8:
+                raise ValueError(
+                    "storage='sq8' quantises internally; pass the float"
+                    " database (or an SQ8Database from quantize_database)"
+                )
+            from .graph_pallas import quantize_int8
 
-        db_i8, scales = quantize_int8(db.astype(jnp.float32))
+            db_i8, scales = quantize_int8(db.astype(jnp.float32))
         db_i8 = pad_rows(db_i8, db_tile)
         n_pad = db_i8.shape[0]
         sc_tiles = jnp.pad(

@@ -60,6 +60,7 @@ class FlatIndex:
         self.config = config or SearchConfig(metric=metric)
         self.backend = backend
         self._db: Optional[jnp.ndarray] = None
+        self._db_sq8 = None  # lazy quantize-once cache (sq8 backend)
 
     @property
     def ntotal(self) -> int:
@@ -77,6 +78,7 @@ class FlatIndex:
             v = l2_normalize(v)
         new = v if self._db is None else jnp.concatenate([self._db, v], axis=0)
         self._db = jax.device_put(new)
+        self._db_sq8 = None  # vectors changed: invalidate the sq8 cache
         return self
 
     def _prep_queries(self, queries: np.ndarray) -> jnp.ndarray:
@@ -104,6 +106,20 @@ class FlatIndex:
                 db_tile=self.config.db_tile // 8,
                 query_block=self.config.query_block // 4,
             )
+        elif backend == "sq8":
+            # quantise once, then every search skips the full-database
+            # quantisation passes (several HBM sweeps per call otherwise)
+            from ..ops.exact_pallas import packed_pallas_topk, quantize_database
+
+            if self._db_sq8 is None:
+                self._db_sq8 = quantize_database(self._db)
+            sims, ids = packed_pallas_topk(
+                self._db_sq8,
+                q,
+                k,
+                metric="ip" if self.metric == "cosine" else self.metric,
+                recall_target=self.config.recall_target,
+            )
         else:
             sims, ids = flat_topk(
                 self._db,
@@ -111,9 +127,8 @@ class FlatIndex:
                 k,
                 metric=self.metric,
                 db_tile=self.config.db_tile,
-                approx=(backend in ("approx", "sq8")),
+                approx=(backend == "approx"),
                 recall_target=self.config.recall_target,
-                storage="sq8" if backend == "sq8" else "native",
             )
         scores = finalize_scores(sims, self.metric)
         return np.asarray(scores), np.asarray(ids)

@@ -315,3 +315,36 @@ def test_sq8_sym_l2_falls_back_to_asymmetric():
         ]
     )
     assert rec >= 0.95
+
+
+def test_sq8_prequantized_database_matches_inline():
+    # SQ8Database (quantize-once) must give exactly the inline-quantised
+    # result, and FlatIndex(backend="sq8") must cache it across searches
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.exact_pallas import (
+        packed_pallas_topk,
+        quantize_database,
+    )
+    from knn_for_homology_tpu.search.flat import FlatIndex
+
+    key = jax.random.PRNGKey(2)
+    db = l2_normalize(jax.random.normal(key, (2048, 128), jnp.float32))
+    q = db[:64]
+    k = 30
+    dbq = quantize_database(db)
+    v1, i1 = packed_pallas_topk(dbq, q, k, metric="ip")
+    v2, i2 = packed_pallas_topk(db, q, k, metric="ip", storage="sq8-sym")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # eager vs in-jit quantisation can fuse the scale arithmetic a last-ulp
+    # differently; decoded values then differ by <= 2^jbits f32 ulps
+    np.testing.assert_allclose(
+        np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-5
+    )
+
+    ix = FlatIndex(metric="cosine", backend="sq8").add(np.asarray(db))
+    s1, j1 = ix.search(np.asarray(q), k)
+    assert ix._db_sq8 is not None  # quantised once, cached
+    s2, j2 = ix.search(np.asarray(q), k)
+    np.testing.assert_array_equal(j1, j2)
+    ix.add(np.asarray(db[:8]))  # mutation invalidates the cache
+    assert ix._db_sq8 is None
