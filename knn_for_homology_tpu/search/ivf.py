@@ -189,6 +189,39 @@ def _gather_bias_buffer(pv, pi, sc, row_sq, cells_sel, metric: str):
     return buf, gids
 
 
+# pad-row scale for the int8 union buffer: (-127 bias)·(127 query bias)·
+# this ≈ -1.6e22 — below every real score, far from f32 overflow even
+# after the per-query dequant scale multiplies in
+_PAD_SCALE = 1.0e18
+
+
+@jax.jit
+def _gather_int8_buffer(pv, pi, sc, cells_sel):
+    """int8 variant of _gather_bias_buffer (cosine/ip): the gathered slabs
+    STAY int8 — half the gather traffic and the scan runs on the MXU's
+    native int8 path via the sq8-sym kernel. Pad semantics ride the same
+    appended bias lane, in integer form: real rows carry bias 0 and their
+    true dequant scale; capacity-pad rows carry bias −127 and scale
+    _PAD_SCALE, so their score is ≈ −1.6e22 after the (query-bias = the
+    query's own max|q|, which quantises to exactly 127 without touching
+    the query's scale) product — no kernel change, no f32 materialisation.
+    l2 keeps the bf16 buffer (its bias lane carries −|row|², which int8
+    cannot hold)."""
+    c_total, lane = pi.shape
+    d = pv.shape[1]
+    budget = cells_sel.shape[0]
+    gids = pi[cells_sel].reshape(-1)  # [B*lane]
+    rows8 = pv.reshape(c_total, lane, d)[cells_sel].reshape(-1, d)
+    real = gids >= 0
+    scales = jnp.where(
+        real, sc[cells_sel].reshape(-1), jnp.float32(_PAD_SCALE)
+    )
+    bias = jnp.where(real, jnp.int8(0), jnp.int8(-127))
+    pad = jnp.zeros((budget * lane, 127), jnp.int8)
+    buf8 = jnp.concatenate([rows8, bias[:, None], pad], axis=1)
+    return buf8, scales, gids
+
+
 class IVFIndex:
     """Inverted-file ANN over device-resident int8 slabs.
 
@@ -214,6 +247,9 @@ class IVFIndex:
     # rank fine there)
     RESCORE_MAX_K = 128
     QUERY_BLOCK = 4096
+    # union-scan rows at/above which the int8 buffer + sq8-sym kernel beat
+    # the dequantised bf16 buffer (see _union_scan_block)
+    INT8_UNION_MIN_ROWS = 1 << 17
     # the DMA expand kernel double-buffers e slabs of [128, d] int8 in
     # VMEM; cap e per call and loop (2 * e * 128 * d bytes <= ~8 MB)
     MAX_PROBE_PER_CALL = 32
@@ -426,25 +462,48 @@ class IVFIndex:
         cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
             jnp.arange(c, dtype=jnp.int32)
         )
-        row_sq = (
-            self._row_sq
-            if self.metric == "l2"
-            else jnp.zeros((0, CAPACITY), jnp.float32)
-        )
-        buf, gids = _gather_bias_buffer(
-            pv, pi, sc, row_sq, cells_sel, self.metric
-        )
         q32 = q.astype(jnp.float32)
-        ones = jnp.ones((q.shape[0], 1), jnp.float32)
         zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
-        q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
-        s = min(shortlist, buf.shape[0])
-        # the engine's Poisson loss multiplies the routing loss, so pin it
-        # well above the index-level target (routing dominates)
-        vals, pos = exact_pallas_topk(
-            buf, q_aug, s, metric="cosine", exact=False,
-            recall_target=0.995, highest_precision=False,
+        # int8 scan pays off when the gathered union is LARGE (stream-bound
+        # scan: half the bytes + the int8 MXU path → measured 17.8→22.4k
+        # q/s at the full-union k=1000 point); small sorted unions are
+        # overhead-bound and keep the bf16 buffer (8.7k vs 11.5k q/s if
+        # forced to int8 at the sorted small-k point)
+        int8_scan = (
+            self.metric != "l2"
+            and budget * CAPACITY >= self.INT8_UNION_MIN_ROWS
         )
+        if self.metric == "l2" or not int8_scan:
+            row_sq = (
+                self._row_sq
+                if self.metric == "l2"
+                else jnp.zeros((0, CAPACITY), jnp.float32)
+            )
+            buf, gids = _gather_bias_buffer(
+                pv, pi, sc, row_sq, cells_sel, self.metric
+            )
+            ones = jnp.ones((q.shape[0], 1), jnp.float32)
+            q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
+            s = min(shortlist, buf.shape[0])
+            # the engine's Poisson loss multiplies the routing loss, so pin
+            # it well above the index-level target (routing dominates)
+            vals, pos = exact_pallas_topk(
+                buf, q_aug, s, metric="cosine", exact=False,
+                recall_target=0.995, highest_precision=False,
+            )
+        else:
+            from ..ops.exact_pallas import SQ8Database, packed_pallas_topk
+
+            buf8, b_scales, gids = _gather_int8_buffer(pv, pi, sc, cells_sel)
+            # query bias = the query's own max|.|: quantises to exactly 127
+            # without changing the query's dequant scale (a 1.0 would clip)
+            q_bias = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+            q_aug = jnp.concatenate([q32, q_bias, zeros], axis=1)
+            s = min(shortlist, buf8.shape[0])
+            vals, pos = packed_pallas_topk(
+                SQ8Database(buf8, b_scales, buf8.shape[0]),
+                q_aug, s, metric="ip", recall_target=0.995,
+            )
         ids = gids[pos]
         vals = jnp.where(ids >= 0, vals, -jnp.inf)
         if self.metric == "l2":

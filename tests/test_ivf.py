@@ -176,3 +176,31 @@ def test_ivf_route_sort_preserves_caller_order():
         s_one, i_one = index.search(queries[qi : qi + 1], 5)
         np.testing.assert_array_equal(i_multi[qi], i_one[0])
         np.testing.assert_allclose(s_multi[qi], s_one[0], rtol=2e-3)
+
+
+def test_ivf_int8_union_scan_matches_bf16_union_scan():
+    """Unions >= INT8_UNION_MIN_ROWS scan the gathered slabs as raw int8
+    through the sq8-sym kernel (bias lane in integer form, pad scale
+    knockout). CI shapes never reach the production threshold, so force
+    it and check against the bf16 union scan and exact ids."""
+    db = _clustered(2048, 128, 32, seed=3)
+    queries = db[:IVFIndex.UNION_MIN_Q + 16]
+    index = IVFIndex(metric="cosine", nprobe=8).add(db)
+    index.INT8_UNION_MIN_ROWS = 10**9  # bf16 union path
+    s_bf16, i_bf16 = index.search(queries, 10)
+    index.INT8_UNION_MIN_ROWS = 1  # int8 union path
+    s_int8, i_int8 = index.search(queries, 10)
+    # both rescore the shortlist in fp32, so ids should agree wherever the
+    # shortlists agree; demand near-total agreement plus exact recall
+    agree = np.mean(i_bf16 == i_int8)
+    assert agree >= 0.99
+    _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(queries), 10)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(i_int8, np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.95
+    # self-hit survives the double-sided quantisation
+    np.testing.assert_array_equal(i_int8[:, 0], np.arange(len(queries)))
