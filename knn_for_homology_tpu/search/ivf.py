@@ -117,43 +117,99 @@ def _kmeans_step(v, centroids, metric: str, reseed: bool):
     return centroids, counts
 
 
-def _kmeans(v, n_clusters: int, iters: int, metric: str, seed: int = 0):
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "iters", "metric")
+)
+def _kmeans(v, n_clusters: int, iters: int, metric: str):
     """Lloyd refinement of a strided init — one MXU assignment matmul +
     one segment-sum per pass, entirely on device, with empty-cluster
     reseeding at every step but the last (so the returned centroids'
-    assignment is consistent with their final update)."""
+    assignment is consistent with their final update). The whole
+    iteration loop runs in ONE jit (lax.fori_loop): per-step dispatch
+    through the axon relay measured ~1 s/iteration — 16 s of the old
+    build time for ~10 ms/iteration of actual compute."""
     n = v.shape[0]
     step = max(n // n_clusters, 1)
     centroids = v[::step][:n_clusters]
-    for it in range(iters):
-        centroids, _ = _kmeans_step(
-            v, centroids, metric, reseed=it < iters - 1
+    if iters <= 0:
+        return centroids
+    if iters > 1:
+        centroids = jax.lax.fori_loop(
+            0,
+            iters - 1,
+            lambda i, cent: _kmeans_step(v, cent, metric, reseed=True)[0],
+            centroids,
         )
-    return centroids
+    return _kmeans_step(v, centroids, metric, reseed=False)[0]
 
 
-def _balanced_members(order2, n_clusters: int, capacity: int) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=("n_clusters", "capacity"))
+def _balanced_members(order2, n_clusters: int, capacity: int):
     """[C, capacity] member ids (-1 padded) from each row's ranked cluster
-    preferences `order2` [N, P]: greedy first-fit into the best cluster
-    with space, falling back to the globally least-full one — every row is
-    stored exactly once (capacity overflow must lose candidates, not
-    rows)."""
-    counts = np.zeros(n_clusters, np.int32)
-    members = np.full((n_clusters, capacity), -1, np.int32)
-    spill = []
-    for row, prefs in enumerate(order2):
-        for c in prefs:
-            if counts[c] < capacity:
-                members[c, counts[c]] = row
-                counts[c] += 1
-                break
-        else:
-            spill.append(row)
-    for row in spill:
-        c = int(np.argmin(counts))
-        members[c, counts[c]] = row
-        counts[c] += 1
-    return members
+    preferences `order2` [N, P]: pass p assigns every still-free row to
+    its rank-p cluster if space remains (row-id order breaks ties), then
+    leftovers spill into the globally free slots. Every row is stored
+    exactly once — capacity overflow must lose candidates, not rows.
+
+    Entirely on device: the old host implementation needed `order2`
+    fetched through the axon relay tunnel, and that 2 MB fetch measured
+    anywhere from 30 to 600 s (the dominant, wildly variable IVF build
+    cost). Per pass: stable-sort rows by wanted cluster, rank-in-group
+    via searchsorted-against-self, capacity test, one scatter. The spill
+    maps the r-th leftover row to the r-th globally free slot via a
+    cumulative-free-count searchsorted."""
+    n, p_max = order2.shape
+    c = n_clusters
+    rows = jnp.arange(n, dtype=jnp.int32)
+    assigned = jnp.full((n,), -1, jnp.int32)
+    counts = jnp.zeros((c,), jnp.int32)
+    # flat member table + one overflow slot that absorbs masked scatters
+    members_flat = jnp.full((c * capacity + 1,), -1, jnp.int32)
+
+    for p in range(p_max):
+        free = assigned < 0
+        want = jnp.where(free, order2[:, p].astype(jnp.int32), c)
+        perm = jnp.argsort(want)  # stable: groups by cluster, row order
+        want_s = want[perm]
+        grp_start = jnp.searchsorted(want_s, want_s, side="left")
+        rank = rows - grp_start  # position within the contender group
+        counts_ext = jnp.concatenate(
+            [counts, jnp.zeros((1,), jnp.int32)]
+        )
+        space_s = jnp.where(
+            want_s == c, 0, capacity - counts_ext[want_s]
+        )
+        take = rank < space_s
+        slot = counts_ext[jnp.minimum(want_s, c - 1)] + rank
+        idx = jnp.where(
+            take, want_s * capacity + slot, c * capacity
+        )
+        members_flat = members_flat.at[idx].set(
+            jnp.where(take, perm, -1)
+        )
+        assigned = assigned.at[perm].set(
+            jnp.where(take, want_s, assigned[perm])
+        )
+        counts = counts + jax.ops.segment_sum(
+            take.astype(jnp.int32),
+            jnp.where(take, want_s, c),
+            num_segments=c + 1,
+        )[:c]
+
+    # spill: r-th leftover row (row order) -> r-th globally free slot
+    left = assigned < 0
+    spill_rank = jnp.cumsum(left.astype(jnp.int32)) - 1
+    free_cnt = capacity - counts
+    cum = jnp.cumsum(free_cnt)
+    cl = jnp.clip(
+        jnp.searchsorted(cum, spill_rank, side="right"), 0, c - 1
+    )
+    prev = jnp.where(cl > 0, cum[jnp.maximum(cl - 1, 0)], 0)
+    slot = spill_rank - prev + counts[cl]
+    ok = left & (spill_rank < cum[c - 1])
+    idx = jnp.where(ok, cl * capacity + slot, c * capacity)
+    members_flat = members_flat.at[idx].set(jnp.where(ok, rows, -1))
+    return members_flat[: c * capacity].reshape(c, capacity)
 
 
 _BIAS_BIG = 3.0e4  # pad-row knockout; |real scores| << this at any metric
@@ -307,7 +363,9 @@ class IVFIndex:
         sims = _route_sims(self._db, self._centroids, self.metric)
         p = min(self.prefs, c)
         _, order2 = jax.lax.top_k(sims, p)
-        self._members = _balanced_members(np.asarray(order2), c, CAPACITY)
+        # device-resident end to end: fetching order2 to the host cost a
+        # 30-600 s relay round-trip (the old dominant build cost)
+        self._members = _balanced_members(order2, c, CAPACITY)
         pv, pi, sc = gp.pack_neighbours(
             self._db, jnp.asarray(self._members), CAPACITY
         )
@@ -542,7 +600,7 @@ class IVFIndex:
             "prefs": self.prefs,
             "vectors": np.asarray(self._db),
             "centroids": np.asarray(self._centroids),
-            "members": self._members,
+            "members": np.asarray(self._members),
         }
 
     @classmethod
