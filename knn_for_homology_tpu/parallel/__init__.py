@@ -1,5 +1,5 @@
 from .mesh import make_mesh, DATA_AXIS, MODEL_AXIS, replicated, row_sharded
-from .scale import DCN_AXIS, ShardedFlatIndex, ShardedGraphIndex, make_pod_mesh, stream_add
+from .scale import DCN_AXIS, ShardedFlatIndex, ShardedGraphIndex, ShardedIVFIndex, make_pod_mesh, stream_add
 from .sharded import db_sharded_topk, query_sharded_topk, sharded_search
 
 __all__ = [
@@ -14,6 +14,7 @@ __all__ = [
     "DCN_AXIS",
     "ShardedFlatIndex",
     "ShardedGraphIndex",
+    "ShardedIVFIndex",
     "make_pod_mesh",
     "stream_add",
 ]

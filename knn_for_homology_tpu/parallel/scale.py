@@ -346,6 +346,239 @@ class ShardedGraphIndex:
         return sims, ids
 
 
+class ShardedIVFIndex:
+    """IVF sharded over the mesh's data axis — the third distributed index
+    next to ShardedFlatIndex and ShardedGraphIndex: one inverted file per
+    shard (embarrassingly parallel k-means + slab builds), queries fan
+    out replicated, each chip routes against its own centroids and scans
+    the probed int8 cluster slabs with the DMA kernel
+    (ops/graph_pallas.beam_expand), and the per-shard winner sets merge
+    over ICI with one top-k. Sub-linear per-chip work at pod scale with
+    HALF the flat path's per-chip HBM (int8 slabs + scales).
+
+    `rescore=True` (default — quality parity with the single-chip
+    IVFIndex) keeps a sharded fp32 copy of the rows and exactly rescores
+    each shard's shortlist before the merge: int8 slab scores carry
+    ~0.4%-of-row-norm noise that scrambles near-tie neighbours (tight
+    clusters). `rescore=False` drops the fp32 copy for the memory-lean
+    mode (ids then order by the quantised scores).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        metric: str = "cosine",
+        nprobe: int = 16,
+        n_clusters: int = 0,  # 0 → per-shard auto (2·rows/128)
+        kmeans_iters: int = 16,
+        rescore: bool = True,
+    ):
+        self.mesh = mesh
+        self.metric = metric
+        self.nprobe = nprobe
+        self.n_clusters = n_clusters
+        self.kmeans_iters = kmeans_iters
+        self.rescore = rescore
+        self._n = 0
+        self._rows = 0  # db rows per shard (global-id offset unit)
+        self._cent = None  # [S, C, d] f32
+        self._pv = None  # [S, C*cap, d] int8
+        self._pi = None  # [S, C, cap] int32
+        self._sc = None  # [S, C, cap] f32
+        self._row_sq = None  # [S, C, cap] f32 (l2 only)
+        self._dbv = None  # [S, rows, d] f32 (rescore=True only)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def build(self, vectors: np.ndarray) -> "ShardedIVFIndex":
+        from ..search.ivf import IVFIndex
+
+        v = np.asarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            v = np.asarray(l2_normalize(v))
+        self._n = v.shape[0]
+        n_shards = data_axis_size(self.mesh)
+        pad = (-self._n) % n_shards
+        if pad:
+            # wrapped REAL rows, not zeros (zeros would routinely win the
+            # routing for far-out queries); n_valid keeps them out of the
+            # results
+            v = np.pad(v, ((0, pad), (0, 0)), mode="wrap")
+        rows = v.shape[0] // n_shards
+        self._rows = rows  # global id = local id + shard_idx * rows
+        search_metric = "ip" if self.metric == "cosine" else self.metric
+        cents, pvs, pis, scs, rsqs = [], [], [], [], []
+        for s in range(n_shards):
+            local = IVFIndex(
+                metric=search_metric,
+                nprobe=self.nprobe,
+                n_clusters=self.n_clusters,
+                kmeans_iters=self.kmeans_iters,
+            ).add(v[s * rows : (s + 1) * rows])
+            cents.append(np.asarray(local._centroids))
+            pv, pi, sc = local._packed
+            pvs.append(np.asarray(pv))
+            pis.append(np.asarray(pi))
+            scs.append(np.asarray(sc))
+            if search_metric == "l2":
+                rsqs.append(np.asarray(local._row_sq))
+            del local
+        flat = flatten_mesh(self.mesh)
+        sh3 = NamedSharding(flat, P(DATA_AXIS, None, None))
+        self._cent = jax.device_put(np.stack(cents), sh3)
+        self._pv = jax.device_put(np.stack(pvs), sh3)
+        self._pi = jax.device_put(np.stack(pis), sh3)
+        self._sc = jax.device_put(np.stack(scs), sh3)
+        if rsqs:
+            self._row_sq = jax.device_put(np.stack(rsqs), sh3)
+        if self.rescore:
+            self._dbv = jax.device_put(
+                v.reshape(n_shards, rows, -1), sh3
+            )
+        return self
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores [Q, k], global ids [Q, k]) — FAISS conventions."""
+        import jax.numpy as jnp
+        from jax import shard_map
+
+        from ..ops import graph_pallas as gp
+        from ..ops.distance import finalize_scores
+        from ..search.ivf import CAPACITY, IVFIndex, _route_sims
+
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        search_metric = "ip" if self.metric == "cosine" else self.metric
+        n = self._n
+        rows = self._rows
+        c_local = self._cent.shape[1]
+        k_eff = min(k, rows, n)
+        nprobe = min(
+            max(self.nprobe, -(-2 * k_eff // CAPACITY)), c_local
+        )
+        interpret = jax.default_backend() != "tpu"
+        chunk = IVFIndex.MAX_PROBE_PER_CALL
+
+        def local(cent_s, pv_s, pi_s, sc_s, rsq_s, db_s, q_rep):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            cent, pv, pi, sc = cent_s[0], pv_s[0], pi_s[0], sc_s[0]
+            route = _route_sims(q_rep, cent, search_metric)
+            _, sel = jax.lax.top_k(route, nprobe)
+            q_sq = (
+                jnp.sum(jnp.square(q_rep), axis=-1)
+                if search_metric == "l2"
+                else None
+            )
+            parts_s, parts_i = [], []
+            for p0 in range(0, nprobe, chunk):
+                sel_part = sel[:, p0 : p0 + chunk]
+                s_part, i_part = gp.beam_expand(
+                    sel_part, q_rep, pv, pi, sc, CAPACITY,
+                    interpret=interpret,
+                )
+                if search_metric == "l2":
+                    s_part = (
+                        2.0 * s_part
+                        - rsq_s[0][sel_part]
+                        - q_sq[:, None, None]
+                    )
+                parts_s.append(s_part)
+                parts_i.append(i_part)
+            cand_s = jnp.concatenate(parts_s, axis=1).reshape(
+                q_rep.shape[0], -1
+            )
+            cand_i = jnp.concatenate(parts_i, axis=1).reshape(
+                q_rep.shape[0], -1
+            )
+            cand_s = jnp.where(cand_i >= 0, cand_s, -jnp.inf)
+            short = (
+                min(max(4 * k_eff, 128), cand_s.shape[1])
+                if self.rescore
+                else min(k_eff, cand_s.shape[1])
+            )
+            vals, pos = jax.lax.top_k(cand_s, short)
+            ids = jnp.take_along_axis(cand_i, pos, axis=1)
+            if self.rescore:
+                # exact fp32 scores for the shortlist, then the true top-k
+                # (int8 near-tie scrambling fixed like the single IVFIndex)
+                rows_f = db_s[0][jnp.clip(ids, 0, rows - 1)]
+                ex = jnp.einsum(
+                    "qkd,qd->qk", rows_f, q_rep,
+                    preferred_element_type=jnp.float32,
+                )
+                if search_metric == "l2":
+                    ex = (
+                        2.0 * ex
+                        - jnp.sum(jnp.square(rows_f), axis=-1)
+                        - q_sq[:, None]
+                    )
+                vals = jnp.where(ids >= 0, ex, -jnp.inf)
+                vals, order = jax.lax.top_k(
+                    vals, min(k_eff, vals.shape[1])
+                )
+                ids = jnp.take_along_axis(ids, order, axis=1)
+            gids = jnp.where(ids >= 0, ids + shard_idx * rows, -1)
+            # wrapped pad rows carry local ids < rows but global ≥ n
+            valid = (gids >= 0) & (gids < n)
+            vals = jnp.where(valid, vals, -jnp.inf)
+            gids = jnp.where(valid, gids, -1)
+            all_sims = jax.lax.all_gather(vals, DATA_AXIS, axis=0)
+            all_ids = jax.lax.all_gather(gids, DATA_AXIS, axis=0)
+            cand_sims = jnp.swapaxes(all_sims, 0, 1).reshape(
+                q_rep.shape[0], -1
+            )
+            cand_ids = jnp.swapaxes(all_ids, 0, 1).reshape(
+                q_rep.shape[0], -1
+            )
+            m_vals, m_sel = jax.lax.top_k(
+                cand_sims, min(k, cand_sims.shape[1])
+            )
+            return m_vals, jnp.take_along_axis(cand_ids, m_sel, axis=1)
+
+        flat_mesh = flatten_mesh(self.mesh)
+        rsq = (
+            self._row_sq
+            if self._row_sq is not None
+            else jnp.zeros_like(self._sc)
+        )
+        dbv = (
+            self._dbv
+            if self._dbv is not None
+            else jnp.zeros((self._cent.shape[0], 1, q.shape[1]), jnp.float32)
+        )
+        sims, ids = shard_map(
+            local,
+            mesh=flat_mesh,
+            in_specs=(
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(self._cent, self._pv, self._pi, self._sc, rsq, dbv, q)
+        sims, ids = np.asarray(sims), np.asarray(ids)
+        if sims.shape[1] < k:  # k exceeded the pool: FAISS-style padding
+            pad = k - sims.shape[1]
+            sims = np.pad(
+                sims, ((0, 0), (0, pad)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        sims = np.asarray(
+            finalize_scores(jnp.asarray(sims), search_metric)
+        )
+        return sims, ids
+
+
 class ShardSweep:
     """UniRef90-scale on ONE chip: shards stream through HBM sequentially.
 

@@ -212,6 +212,24 @@ def _balanced_members(order2, n_clusters: int, capacity: int):
     return members_flat[: c * capacity].reshape(c, capacity)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "nprobe"))
+def _block_union_counts(q_blocks, centroids, metric: str, nprobe: int):
+    """[B] distinct-probed-cell counts, one per query block — computed for
+    ALL blocks in one device call so the union-scan loop needs ONE host
+    sync total instead of one per block (each scalar fetch through the
+    axon relay costs tens of ms; at 8 blocks per search call the syncs
+    rivalled the scan itself)."""
+    c = centroids.shape[0]
+
+    def one(q):
+        route = _route_sims(q, centroids, metric)
+        _, sel = jax.lax.top_k(route, nprobe)
+        probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
+        return jnp.sum(probed)
+
+    return jax.vmap(one)(q_blocks)
+
+
 _BIAS_BIG = 3.0e4  # pad-row knockout; |real scores| << this at any metric
 
 
@@ -430,12 +448,40 @@ class IVFIndex:
             route_all = _route_sims(q_all, self._centroids, self.metric)
             perm = jnp.argsort(jnp.argmax(route_all, axis=-1))
             q_all = q_all[perm]
+        budgets = None
+        if not traced and q_all.shape[0] >= self.UNION_MIN_Q:
+            # ONE host sync sizes every block's gather (vs a scalar fetch
+            # per block — tens of ms each through the relay). The tail
+            # block is padded by repeating the last row: extra cells only
+            # over-estimate its union (a power-of-2 round-up anyway).
+            q_n0 = q_all.shape[0]
+            n_blocks = -(-q_n0 // qb)
+            pad = n_blocks * qb - q_n0
+            q_pad = (
+                jnp.concatenate(
+                    [q_all, jnp.broadcast_to(q_all[-1:], (pad, q_all.shape[1]))]
+                )
+                if pad
+                else q_all
+            )
+            u_vec = np.asarray(
+                _block_union_counts(
+                    q_pad.reshape(n_blocks, qb, -1),
+                    self._centroids,
+                    self.metric,
+                    nprobe,
+                )
+            )
+            budgets = [
+                min(1 << max(int(u) - 1, 0).bit_length(), c) for u in u_vec
+            ]
         sims_out, ids_out = [], []
         for start in range(0, q_all.shape[0], qb):
             q = q_all[start : start + qb]
             if not traced and q.shape[0] >= self.UNION_MIN_Q:
                 vals, ids = self._union_scan_block(
-                    q, k_eff, nprobe, shortlist, rescore
+                    q, k_eff, nprobe, shortlist, rescore,
+                    budget=budgets[start // qb] if budgets else None,
                 )
                 sims_out.append(vals)
                 ids_out.append(ids)
@@ -498,10 +544,14 @@ class IVFIndex:
             ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return finalize_scores(sims, self.metric), ids
 
-    def _union_scan_block(self, q, k_eff, nprobe, shortlist, rescore):
+    def _union_scan_block(
+        self, q, k_eff, nprobe, shortlist, rescore, budget=None
+    ):
         """Batched search over the union of the block's probed cells (see
-        class docstring). One scalar host sync sizes the gather to a
-        power-of-two cell budget — a handful of compile shapes total."""
+        class docstring). The power-of-two cell `budget` sizing the gather
+        normally arrives precomputed (one batched host sync for all
+        blocks, _block_union_counts); a direct caller may omit it and pay
+        a per-block scalar fetch."""
         from ..ops.exact_pallas import exact_pallas_topk
 
         c = self._centroids.shape[0]
@@ -512,8 +562,9 @@ class IVFIndex:
         probed = (
             jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
         )
-        u = int(jnp.sum(probed))  # one scalar fetch per block
-        budget = min(1 << max(u - 1, 0).bit_length(), c)
+        if budget is None:
+            u = int(jnp.sum(probed))  # one scalar fetch per block
+            budget = min(1 << max(u - 1, 0).bit_length(), c)
         # probed cells first (argsort of the negated bitmap); the tail of
         # the budget window may carry unprobed cells — scanning them only
         # ADDS true candidates

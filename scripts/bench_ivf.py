@@ -60,14 +60,16 @@ def main():
     from knn_for_homology_tpu.ops.topk import flat_topk
     from knn_for_homology_tpu.search.ivf import CAPACITY, IVFIndex
 
-    def measure(index, db, queries, k, exact_ids, nprobe, tag):
+    def measure(index, db, queries, k, exact_ids, nprobe, tag, reps=3):
         index.nprobe = nprobe
         index.search_device(queries, k)  # compile+warm
-        t0 = time.time()
-        s, i = index.search_device(queries, k)
-        jax.block_until_ready(i)
-        np.asarray(i[:1, :1])  # force full sync (relay quirk)
-        secs = time.time() - t0
+        secs = float("inf")
+        for _ in range(reps):  # best-of: relay noise only ADDS time
+            t0 = time.time()
+            s, i = index.search_device(queries, k)
+            jax.block_until_ready(i)
+            np.asarray(i[:1, :1])  # force full sync (relay quirk)
+            secs = min(secs, time.time() - t0)
         i = np.asarray(i)
         rec = float(np.mean([
             len(set(a.tolist()) & set(b[b >= 0].tolist())) / k

@@ -157,3 +157,36 @@ def test_sharded_flat_index_sq8_storage():
         ]
     )
     assert rec >= 0.95
+
+
+def test_sharded_ivf_index_recall_and_global_ids():
+    # per-shard inverted files + ICI merge: recall vs the exact scan in
+    # band, global ids valid, self-hits on top (clustered so routing works)
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.topk import flat_topk
+    from knn_for_homology_tpu.parallel.mesh import make_mesh
+    from knn_for_homology_tpu.parallel.scale import ShardedIVFIndex
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(32, 64).astype(np.float32)
+    assign = rng.randint(0, 32, 1030)
+    db = centers[assign] + 0.08 * rng.randn(1030, 64).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+
+    mesh = make_mesh(jax.device_count())
+    index = ShardedIVFIndex(mesh, metric="cosine", nprobe=8).build(db)
+    queries = db[:64]
+    scores, ids = index.search(queries, 10)
+    assert ids.shape == (64, 10)
+    assert ids.max() < 1030 and (ids >= -1).all()
+    np.testing.assert_array_equal(ids[:, 0], np.arange(64))
+    _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(queries), 10)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(ids, np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.9
