@@ -435,10 +435,12 @@ class IVFIndex:
             qb //= 2
         traced = isinstance(q_all, jax.core.Tracer)
         # route-locality sort (host path only): queries grouped by their
-        # top-1 cell give each union-scan block a much smaller cell union
-        # (measured 15.0k vs 5.9k q/s at the judged small-k point) and the
-        # DMA path better slab reuse. Per-query results are unchanged —
-        # the inverse permutation restores caller order.
+        # top-1 cell give each union-scan block a smaller cell union and
+        # the DMA path better slab reuse. Measured effect is noise-bound
+        # on the relay (best-of-3 runs put sorted and unsorted in the same
+        # 12-21k q/s band; single-shot runs once showed 2.5x); kept
+        # because the argsort is ~free and recall is unaffected — the
+        # inverse permutation restores caller order.
         perm = None
         if (
             not traced
