@@ -348,3 +348,42 @@ def test_sq8_prequantized_database_matches_inline():
     np.testing.assert_array_equal(j1, j2)
     ix.add(np.asarray(db[:8]))  # mutation invalidates the cache
     assert ix._db_sq8 is None
+
+
+def test_sq8_kernels_compiled_match_interpret_on_tpu():
+    """CI runs every sq8 test in interpret mode (CPU mesh); the Mosaic
+    compilation that actually runs on hardware is only exercised by the
+    benches. Same rationale as the graph DMA test: compare the COMPILED
+    kernels against interpret mode on identical inputs. Skipped off-TPU;
+    run via KNN_TPU_TEST_PLATFORM=axon pytest ... -k compiled.
+
+    The interpret reference runs pinned to the LOCAL CPU backend:
+    interpret-mode Pallas emulates the kernel with thousands of small
+    device ops, and issuing those through the axon relay (ms-latency per
+    dispatch) hangs for hours."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled-kernel parity requires a real TPU")
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+
+    key = jax.random.PRNGKey(5)
+    db_np = np.asarray(
+        l2_normalize(jax.random.normal(key, (4096, 256), jnp.float32))
+    )
+    q_np = db_np[:128]
+    k = 64
+    cpu = jax.devices("cpu")[0]
+    for storage in ("sq8", "sq8-sym"):
+        v_c, i_c = packed_pallas_topk(
+            jnp.asarray(db_np), jnp.asarray(q_np), k,
+            metric="cosine", storage=storage, interpret=False,
+        )
+        with jax.default_device(cpu):
+            v_i, i_i = packed_pallas_topk(
+                jnp.asarray(db_np), jnp.asarray(q_np), k,
+                metric="cosine", storage=storage, interpret=True,
+            )
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_i))
+        np.testing.assert_allclose(
+            np.asarray(v_c), np.asarray(v_i), rtol=0, atol=1e-5
+        )
