@@ -296,6 +296,116 @@ def _gather_int8_buffer(pv, pi, sc, cells_sel):
     return buf8, scales, gids
 
 
+def _exact_rescore_rows(db, q, ids, metric: str):
+    """fp32 re-scoring of final candidates (quantisation-free
+    caller-visible scores, like the graph engine's epilogue)."""
+    safe = jnp.clip(ids, 0, db.shape[0] - 1)
+    rows = db[safe]  # [q, k, d]
+    s = jnp.einsum(
+        "qkd,qd->qk", rows, q, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        r_sq = jnp.sum(jnp.square(rows), axis=-1)
+        q_sq = jnp.sum(jnp.square(q), axis=-1)
+        s = 2.0 * s - r_sq - q_sq[:, None]
+    return jnp.where(ids >= 0, s, -jnp.inf)
+
+
+def _union_scan_one(
+    q, centroids, pv, pi, sc, row_sq, db, *,
+    metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
+):
+    """One query block through the batched union scan (traceable; static
+    `budget` cells). See IVFIndex docstring for the path's rationale."""
+    from ..ops.exact_pallas import exact_pallas_topk
+
+    c = centroids.shape[0]
+    d = db.shape[1]
+    route = _route_sims(q, centroids, metric)
+    _, sel = jax.lax.top_k(route, nprobe)
+    probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
+    # probed cells first (argsort of the negated bitmap); the tail of
+    # the budget window may carry unprobed cells — scanning them only
+    # ADDS true candidates
+    cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
+        jnp.arange(c, dtype=jnp.int32)
+    )
+    q32 = q.astype(jnp.float32)
+    zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
+    # int8 scan pays off when the gathered union is LARGE (stream-bound
+    # scan: half the bytes + the int8 MXU path → measured 17.8→22.4k
+    # q/s at the full-union k=1000 point); small sorted unions are
+    # overhead-bound and keep the bf16 buffer (8.7k vs 11.5k q/s if
+    # forced to int8 at the sorted small-k point)
+    int8_scan = metric != "l2" and budget * CAPACITY >= int8_min_rows
+    if not int8_scan:
+        buf, gids = _gather_bias_buffer(pv, pi, sc, row_sq, cells_sel, metric)
+        ones = jnp.ones((q.shape[0], 1), jnp.float32)
+        q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
+        s = min(shortlist, buf.shape[0])
+        # the engine's Poisson loss multiplies the routing loss, so pin
+        # it well above the index-level target (routing dominates)
+        vals, pos = exact_pallas_topk(
+            buf, q_aug, s, metric="cosine", exact=False,
+            recall_target=0.995, highest_precision=False,
+        )
+    else:
+        from ..ops.exact_pallas import SQ8Database, packed_pallas_topk
+
+        buf8, b_scales, gids = _gather_int8_buffer(pv, pi, sc, cells_sel)
+        # query bias = the query's own max|.|: quantises to exactly 127
+        # without changing the query's dequant scale (a 1.0 would clip)
+        q_bias = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+        q_aug = jnp.concatenate([q32, q_bias, zeros], axis=1)
+        s = min(shortlist, buf8.shape[0])
+        vals, pos = packed_pallas_topk(
+            SQ8Database(buf8, b_scales, buf8.shape[0]),
+            q_aug, s, metric="ip", recall_target=0.995,
+        )
+    ids = gids[pos]
+    vals = jnp.where(ids >= 0, vals, -jnp.inf)
+    if metric == "l2":
+        vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
+    if rescore:
+        vals = _exact_rescore_rows(db, q, ids, metric)
+        vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
+        ids = jnp.take_along_axis(ids, order, axis=1)
+    elif vals.shape[1] > k_eff:
+        vals = vals[:, :k_eff]
+        ids = ids[:, :k_eff]
+    return vals, ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k_eff", "nprobe", "shortlist", "rescore", "budget",
+        "int8_min_rows",
+    ),
+)
+def _union_scan_stacked(
+    q_blocks, centroids, pv, pi, sc, row_sq, db, *,
+    metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
+):
+    """All same-budget query blocks in ONE device call: a lax.scan over
+    [G, qb, d] stacked blocks, each through _union_scan_one. The per-block
+    Python loop it replaces paid ~10 relay dispatches per block (route,
+    gather, scan, rescore, ... each a separate device call); a 131k-query
+    search now issues one dispatch per DISTINCT gather budget (a handful
+    of powers of two) — the fix for the measured call-overhead-bound
+    12-21k q/s plateau at 4096-query blocks (scripts/bench_ivf.py)."""
+
+    def body(_, q):
+        return None, _union_scan_one(
+            q, centroids, pv, pi, sc, row_sq, db,
+            metric=metric, k_eff=k_eff, nprobe=nprobe, shortlist=shortlist,
+            rescore=rescore, budget=budget, int8_min_rows=int8_min_rows,
+        )
+
+    _, (vals, ids) = jax.lax.scan(body, None, q_blocks)
+    return vals, ids
+
+
 class IVFIndex:
     """Inverted-file ANN over device-resident int8 slabs.
 
@@ -450,7 +560,6 @@ class IVFIndex:
             route_all = _route_sims(q_all, self._centroids, self.metric)
             perm = jnp.argsort(jnp.argmax(route_all, axis=-1))
             q_all = q_all[perm]
-        budgets = None
         if not traced and q_all.shape[0] >= self.UNION_MIN_Q:
             # ONE host sync sizes every block's gather (vs a scalar fetch
             # per block — tens of ms each through the relay). The tail
@@ -466,28 +575,47 @@ class IVFIndex:
                 if pad
                 else q_all
             )
+            q_blocks = q_pad.reshape(n_blocks, qb, -1)
             u_vec = np.asarray(
                 _block_union_counts(
-                    q_pad.reshape(n_blocks, qb, -1),
-                    self._centroids,
-                    self.metric,
-                    nprobe,
+                    q_blocks, self._centroids, self.metric, nprobe,
                 )
             )
             budgets = [
                 min(1 << max(int(u) - 1, 0).bit_length(), c) for u in u_vec
             ]
+            # group blocks by gather budget: ONE device dispatch per
+            # distinct power-of-two budget (lax.scan over the stacked
+            # blocks) instead of ~10 dispatches per block — the per-call
+            # relay overhead was the measured 12-21k q/s plateau.
+            groups: dict = {}
+            for bi, b in enumerate(budgets):
+                groups.setdefault(b, []).append(bi)
+            pv, pi, sc = self._packed
+            row_sq = self._row_sq_arg()
+            out_v: list = [None] * n_blocks
+            out_i: list = [None] * n_blocks
+            for b, idxs in sorted(groups.items()):
+                stack = (
+                    q_blocks
+                    if len(idxs) == n_blocks
+                    else q_blocks[jnp.asarray(idxs, dtype=jnp.int32)]
+                )
+                vals, ids = _union_scan_stacked(
+                    stack, self._centroids, pv, pi, sc, row_sq, self._db,
+                    metric=self.metric, k_eff=k_eff, nprobe=nprobe,
+                    shortlist=shortlist, rescore=rescore, budget=b,
+                    int8_min_rows=self.INT8_UNION_MIN_ROWS,
+                )
+                for j, bi in enumerate(idxs):
+                    out_v[bi] = vals[j]
+                    out_i[bi] = ids[j]
+            sims = jnp.concatenate(out_v, axis=0)[:q_n0]
+            ids = jnp.concatenate(out_i, axis=0)[:q_n0]
+            return self._finalize_search(sims, ids, k, perm)
         sims_out, ids_out = [], []
         for start in range(0, q_all.shape[0], qb):
             q = q_all[start : start + qb]
-            if not traced and q.shape[0] >= self.UNION_MIN_Q:
-                vals, ids = self._union_scan_block(
-                    q, k_eff, nprobe, shortlist, rescore,
-                    budget=budgets[start // qb] if budgets else None,
-                )
-                sims_out.append(vals)
-                ids_out.append(ids)
-                continue
             route = _route_sims(q, self._centroids, self.metric)
             _, sel = jax.lax.top_k(route, nprobe)  # [q, nprobe]
             q_sq = (
@@ -534,6 +662,11 @@ class IVFIndex:
             ids_out[0] if len(ids_out) == 1
             else jnp.concatenate(ids_out, axis=0)
         )
+        return self._finalize_search(sims, ids, k, perm)
+
+    def _finalize_search(self, sims, ids, k: int, perm):
+        """Common search epilogue: undo the route-locality sort, pad the
+        column axis to k with the FAISS sentinel, finalize scores."""
         if perm is not None:
             inv = jnp.argsort(perm)
             sims = sims[inv]
@@ -554,93 +687,32 @@ class IVFIndex:
         normally arrives precomputed (one batched host sync for all
         blocks, _block_union_counts); a direct caller may omit it and pay
         a per-block scalar fetch."""
-        from ..ops.exact_pallas import exact_pallas_topk
-
         c = self._centroids.shape[0]
-        d = self._db.shape[1]
         pv, pi, sc = self._packed
-        route = _route_sims(q, self._centroids, self.metric)
-        _, sel = jax.lax.top_k(route, nprobe)
-        probed = (
-            jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
-        )
         if budget is None:
+            route = _route_sims(q, self._centroids, self.metric)
+            _, sel = jax.lax.top_k(route, nprobe)
+            probed = (
+                jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
+            )
             u = int(jnp.sum(probed))  # one scalar fetch per block
             budget = min(1 << max(u - 1, 0).bit_length(), c)
-        # probed cells first (argsort of the negated bitmap); the tail of
-        # the budget window may carry unprobed cells — scanning them only
-        # ADDS true candidates
-        cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
-            jnp.arange(c, dtype=jnp.int32)
+        return _union_scan_one(
+            q, self._centroids, pv, pi, sc, self._row_sq_arg(), self._db,
+            metric=self.metric, k_eff=k_eff, nprobe=nprobe,
+            shortlist=shortlist, rescore=rescore, budget=budget,
+            int8_min_rows=self.INT8_UNION_MIN_ROWS,
         )
-        q32 = q.astype(jnp.float32)
-        zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
-        # int8 scan pays off when the gathered union is LARGE (stream-bound
-        # scan: half the bytes + the int8 MXU path → measured 17.8→22.4k
-        # q/s at the full-union k=1000 point); small sorted unions are
-        # overhead-bound and keep the bf16 buffer (8.7k vs 11.5k q/s if
-        # forced to int8 at the sorted small-k point)
-        int8_scan = (
-            self.metric != "l2"
-            and budget * CAPACITY >= self.INT8_UNION_MIN_ROWS
-        )
-        if self.metric == "l2" or not int8_scan:
-            row_sq = (
-                self._row_sq
-                if self.metric == "l2"
-                else jnp.zeros((0, CAPACITY), jnp.float32)
-            )
-            buf, gids = _gather_bias_buffer(
-                pv, pi, sc, row_sq, cells_sel, self.metric
-            )
-            ones = jnp.ones((q.shape[0], 1), jnp.float32)
-            q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
-            s = min(shortlist, buf.shape[0])
-            # the engine's Poisson loss multiplies the routing loss, so pin
-            # it well above the index-level target (routing dominates)
-            vals, pos = exact_pallas_topk(
-                buf, q_aug, s, metric="cosine", exact=False,
-                recall_target=0.995, highest_precision=False,
-            )
-        else:
-            from ..ops.exact_pallas import SQ8Database, packed_pallas_topk
 
-            buf8, b_scales, gids = _gather_int8_buffer(pv, pi, sc, cells_sel)
-            # query bias = the query's own max|.|: quantises to exactly 127
-            # without changing the query's dequant scale (a 1.0 would clip)
-            q_bias = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
-            q_aug = jnp.concatenate([q32, q_bias, zeros], axis=1)
-            s = min(shortlist, buf8.shape[0])
-            vals, pos = packed_pallas_topk(
-                SQ8Database(buf8, b_scales, buf8.shape[0]),
-                q_aug, s, metric="ip", recall_target=0.995,
-            )
-        ids = gids[pos]
-        vals = jnp.where(ids >= 0, vals, -jnp.inf)
+    def _row_sq_arg(self) -> jnp.ndarray:
+        """The l2 additive term for the union-scan buffer; a [0, CAPACITY]
+        placeholder for other metrics (shape-stable jit argument)."""
         if self.metric == "l2":
-            vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
-        if rescore:
-            vals = self._exact_rescore(q, ids)
-            vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
-            ids = jnp.take_along_axis(ids, order, axis=1)
-        elif vals.shape[1] > k_eff:
-            vals = vals[:, :k_eff]
-            ids = ids[:, :k_eff]
-        return vals, ids
+            return self._row_sq
+        return jnp.zeros((0, CAPACITY), jnp.float32)
 
     def _exact_rescore(self, q, ids):
-        """fp32 re-scoring of the final candidates (quantisation-free
-        caller-visible scores, like the graph engine's epilogue)."""
-        safe = jnp.clip(ids, 0, self.ntotal - 1)
-        rows = self._db[safe]  # [q, k, d]
-        s = jnp.einsum(
-            "qkd,qd->qk", rows, q, preferred_element_type=jnp.float32
-        )
-        if self.metric == "l2":
-            r_sq = jnp.sum(jnp.square(rows), axis=-1)
-            q_sq = jnp.sum(jnp.square(q), axis=-1)
-            s = 2.0 * s - r_sq - q_sq[:, None]
-        return jnp.where(ids >= 0, s, -jnp.inf)
+        return _exact_rescore_rows(self._db, q, ids, self.metric)
 
     # --- persistence payload (see search/io.py) ---
     def state(self) -> dict:
