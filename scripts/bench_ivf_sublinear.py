@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""IVF sub-linearity head-to-head vs the flat engine at n >= 1M.
+
+At n=131k the flat packed engine (394k q/s, compute-bound) beats IVF on
+raw q/s — scanning everything at MXU rate outruns gather + sub-linear
+scan at that size. The crossover argument for an IVF index is asymptotic:
+flat work grows O(n) per query while IVF work grows with the probed
+fraction. This script measures the crossover directly at n=2^20,
+d=1024 — 8x the headline corpus, the regime the reference's UniRef90
+case study lives in (reference: more_sensitive/uniref90-figures/) — on
+one chip, big route-sorted query batches (the production shape: pipeline
+searches stream family-ordered embeddings):
+
+  * flat packed sq8-sym, database prequantised (the repeated-search
+    production point of ops/exact_pallas.py), and
+  * IVFIndex grouped union-scan (one dispatch per gather budget).
+
+Recall for both is scored against the exact engine on a 4096-query
+subsample. One JSON line per measurement.
+
+Memory note (16 GB HBM): f32 db 4 GB + IVF slabs ~2.3 GB + sq8 copy
+1 GB + queries/buffers — fits with room for the union gather transient;
+the adversarial 2048-cluster generator from bench_ivf.py scales up
+unchanged.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bench_ivf import make_clustered  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2**20)
+    p.add_argument("--d", type=int, default=1024)
+    p.add_argument("--clusters", type=int, default=8192)
+    p.add_argument("--queries", type=int, default=65536)
+    p.add_argument("--recall-sample", type=int, default=4096)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--nprobe", type=int, nargs="+", default=[8, 16])
+    p.add_argument("--kmeans-iters", type=int, default=16)
+    p.add_argument("--qb", type=int, default=0, help="IVF query block override")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.exact_pallas import (
+        exact_pallas_topk, packed_pallas_topk, quantize_database,
+    )
+    from knn_for_homology_tpu.search.ivf import IVFIndex, _route_sims
+
+    db = make_clustered(jax.random.PRNGKey(0), args.n, args.d, args.clusters)
+    queries = db[: args.queries]
+
+    # exact reference on a subsample (the exact engine is O(n) per query;
+    # 4096 queries keep the baseline pass short)
+    sample = np.linspace(0, args.queries - 1, args.recall_sample).astype(int)
+    q_sample = queries[jnp.asarray(sample)]
+    _, exact_ids = exact_pallas_topk(db, q_sample, args.k, metric="ip")
+    exact_ids = np.asarray(jax.block_until_ready(exact_ids))
+
+    def recall_of(ids_full):
+        ids = np.asarray(ids_full)[sample]
+        return float(np.mean([
+            len(set(a.tolist()) & set(b[b >= 0].tolist())) / args.k
+            for a, b in zip(exact_ids, ids)
+        ]))
+
+    def timed(fn, tag, extra=None):
+        ids = jax.block_until_ready(fn())  # compile + warm
+        secs = float("inf")
+        for _ in range(args.reps):  # best-of: relay noise only ADDS time
+            t0 = time.time()
+            ids = fn()
+            jax.block_until_ready(ids)
+            np.asarray(ids[:1, :1])  # force full sync (relay quirk)
+            secs = min(secs, time.time() - t0)
+        print(json.dumps({
+            "case": tag,
+            "n": args.n,
+            "k": args.k,
+            "qps": round(args.queries / secs, 1),
+            "recall": round(recall_of(ids), 4),
+            **(extra or {}),
+        }), flush=True)
+
+    # ---- flat packed sq8-sym, prequantised (the production point) ----
+    sq8 = quantize_database(db)
+
+    def flat_run():
+        return packed_pallas_topk(sq8, queries, args.k, metric="ip")[1]
+
+    timed(flat_run, "flat-sq8-sym")
+
+    # ---- IVF grouped union-scan ----
+    t0 = time.time()
+    index = IVFIndex(
+        metric="cosine", nprobe=args.nprobe[0],
+        kmeans_iters=args.kmeans_iters,
+    ).add(db)
+    build_s = time.time() - t0
+    print(json.dumps({
+        "build_seconds": round(build_s, 1),
+        "cells": int(index._centroids.shape[0]),
+    }), flush=True)
+    if args.qb:
+        index.QUERY_BLOCK = args.qb
+
+    # route-locality sort once, outside the timed region: production
+    # callers search family-ordered corpora (and IVFIndex re-sorts
+    # internally anyway; pre-sorting makes the timing represent the
+    # locality the internal argsort would find)
+    top1 = np.asarray(jnp.argmax(
+        _route_sims(queries, index._centroids, "cosine"), axis=1
+    ))
+    order = np.argsort(top1, kind="stable")
+    inv = np.argsort(order)
+    q_sorted = queries[jnp.asarray(order)]
+    inv_j = jnp.asarray(inv)
+
+    for nprobe in args.nprobe:
+        index.nprobe = nprobe
+
+        def ivf_run():
+            return index.search_device(q_sorted, args.k)[1][inv_j]
+
+        timed(ivf_run, "ivf-union", {"nprobe": nprobe,
+                                     "qb": index.QUERY_BLOCK})
+
+
+if __name__ == "__main__":
+    main()
