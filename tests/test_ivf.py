@@ -178,6 +178,57 @@ def test_ivf_route_sort_preserves_caller_order():
         np.testing.assert_allclose(s_multi[qi], s_one[0], rtol=2e-3)
 
 
+def test_ivf_grouped_scan_matches_per_block_fallback():
+    """search_device dispatches same-budget blocks as ONE lax.scan
+    (_union_scan_stacked); the direct per-block fallback
+    (_union_scan_block) shares _union_scan_one, so on identically-sized
+    blocks with identical budgets the two must agree everywhere except
+    fp32-tie order (the scanned and standalone compilations may fuse the
+    rescore einsum differently — reassociation flips exact ties).
+    Queries are pre-sorted by routed cell so the internal locality sort
+    is the identity (stable argsort of a sorted key) and rows line up."""
+    from knn_for_homology_tpu.search.ivf import (
+        CAPACITY, _block_union_counts, _route_sims,
+    )
+
+    db = _clustered(4096, 128, 64, seed=29)
+    index = IVFIndex(metric="cosine", nprobe=4).add(db)
+    index.UNION_MIN_Q = 32
+    qb = index.QUERY_BLOCK = 64
+    raw = db[:256]
+    top1 = np.asarray(
+        jnp.argmax(_route_sims(jnp.asarray(raw), index._centroids,
+                               "cosine"), axis=1)
+    )
+    queries = raw[np.argsort(top1, kind="stable")]
+    s_g, i_g = index.search(queries, 10)
+    # per-block reference through the fallback, same blocking + budgets
+    c = index._centroids.shape[0]
+    nprobe = min(max(index.nprobe, -(-2 * 10 // CAPACITY)), c)
+    q_blocks = jnp.asarray(queries).reshape(-1, qb, queries.shape[1])
+    u_vec = np.asarray(
+        _block_union_counts(q_blocks, index._centroids, "cosine", nprobe)
+    )
+    shortlist = min(max(4 * 10, CAPACITY), nprobe * CAPACITY)
+    for bi, u in enumerate(u_vec):
+        budget = min(1 << max(int(u) - 1, 0).bit_length(), c)
+        vals, ids = index._union_scan_block(
+            q_blocks[bi], 10, nprobe, shortlist, True, budget=budget
+        )
+        ids = np.asarray(ids)
+        vals = np.asarray(vals)
+        got_i = i_g[bi * qb : (bi + 1) * qb]
+        got_s = s_g[bi * qb : (bi + 1) * qb]
+        # rescored score vectors must match to fp32 noise everywhere...
+        np.testing.assert_allclose(got_s, vals, atol=2e-5)
+        # ...and any id disagreement must be an exact-tie swap
+        diff = got_i != ids
+        assert diff.mean() < 0.01, diff.mean()
+        np.testing.assert_allclose(
+            got_s[diff], vals[diff], atol=2e-5
+        )
+
+
 def test_ivf_int8_union_scan_matches_bf16_union_scan():
     """Unions >= INT8_UNION_MIN_ROWS scan the gathered slabs as raw int8
     through the sq8-sym kernel (bias lane in integer form, pad scale
