@@ -372,6 +372,7 @@ class ShardedIVFIndex:
         n_clusters: int = 0,  # 0 → per-shard auto (2·rows/128)
         kmeans_iters: int = 16,
         rescore: bool = True,
+        union_budget: int = 0,
     ):
         self.mesh = mesh
         self.metric = metric
@@ -379,6 +380,13 @@ class ShardedIVFIndex:
         self.n_clusters = n_clusters
         self.kmeans_iters = kmeans_iters
         self.rescore = rescore
+        # > 0: per-shard FIXED-budget union scan (search/ivf.py
+        # _union_scan_one — gather the block's most-probed cells' slabs
+        # once and scan at the flat engine's rate) instead of per-query
+        # DMA expansion. Static budget keeps the whole shard program
+        # traced (no host sync inside shard_map); cells beyond the budget
+        # are the block's least-probed — recall decays gracefully.
+        self.union_budget = union_budget
         self._n = 0
         self._rows = 0  # db rows per shard (global-id offset unit)
         self._cent = None  # [S, C, d] f32
@@ -464,9 +472,49 @@ class ShardedIVFIndex:
         interpret = jax.default_backend() != "tpu"
         chunk = IVFIndex.MAX_PROBE_PER_CALL
 
+        def local_union(cent, pv, pi, sc, rsq, db, q_rep):
+            """Per-shard fixed-budget union scan (vals, local ids)."""
+            from ..search.ivf import _union_scan_one
+
+            budget = min(self.union_budget, c_local)
+            shortlist = (
+                min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
+                if self.rescore
+                else k_eff
+            )
+            qb = min(IVFIndex.QUERY_BLOCK, q_rep.shape[0])
+            n_blocks = -(-q_rep.shape[0] // qb)
+            pad = n_blocks * qb - q_rep.shape[0]
+            q_pad = (
+                jnp.concatenate(
+                    [q_rep,
+                     jnp.broadcast_to(q_rep[-1:], (pad, q_rep.shape[1]))]
+                )
+                if pad
+                else q_rep
+            )
+            parts = [
+                _union_scan_one(
+                    q_pad[b * qb : (b + 1) * qb], cent, pv, pi, sc,
+                    rsq, db, metric=search_metric, k_eff=k_eff,
+                    nprobe=nprobe, shortlist=shortlist,
+                    rescore=self.rescore, budget=budget,
+                    int8_min_rows=IVFIndex.INT8_UNION_MIN_ROWS,
+                )
+                for b in range(n_blocks)
+            ]
+            vals = jnp.concatenate([p[0] for p in parts])[: q_rep.shape[0]]
+            ids = jnp.concatenate([p[1] for p in parts])[: q_rep.shape[0]]
+            return vals, ids
+
         def local(cent_s, pv_s, pi_s, sc_s, rsq_s, db_s, q_rep):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             cent, pv, pi, sc = cent_s[0], pv_s[0], pi_s[0], sc_s[0]
+            if self.union_budget:
+                vals, ids = local_union(
+                    cent, pv, pi, sc, rsq_s[0], db_s[0], q_rep
+                )
+                return merge(vals, ids, shard_idx, q_rep)
             route = _route_sims(q_rep, cent, search_metric)
             _, sel = jax.lax.top_k(route, nprobe)
             q_sq = (
@@ -522,6 +570,10 @@ class ShardedIVFIndex:
                     vals, min(k_eff, vals.shape[1])
                 )
                 ids = jnp.take_along_axis(ids, order, axis=1)
+            return merge(vals, ids, shard_idx, q_rep)
+
+        def merge(vals, ids, shard_idx, q_rep):
+            """Shared epilogue: local→global ids, ICI winner merge."""
             gids = jnp.where(ids >= 0, ids + shard_idx * rows, -1)
             # wrapped pad rows carry local ids < rows but global ≥ n
             valid = (gids >= 0) & (gids < n)

@@ -323,10 +323,14 @@ def _union_scan_one(
     d = db.shape[1]
     route = _route_sims(q, centroids, metric)
     _, sel = jax.lax.top_k(route, nprobe)
-    probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
-    # probed cells first (argsort of the negated bitmap); the tail of
-    # the budget window may carry unprobed cells — scanning them only
-    # ADDS true candidates
+    # cells ranked by POPULARITY (how many of the block's queries probe
+    # them): with a host-sized budget (>= the true union) this selects
+    # exactly the probed cells, same as a bitmap; with a caller-fixed
+    # budget smaller than the union (the traced/sharded fast path) the
+    # dropped cells are the least-probed ones — graceful recall decay.
+    # The tail of the budget window may carry unprobed cells — scanning
+    # them only ADDS true candidates.
+    probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].add(1)
     cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
         jnp.arange(c, dtype=jnp.int32)
     )
@@ -506,16 +510,23 @@ class IVFIndex:
             )
 
     def search(
-        self, queries, k: int
+        self, queries, k: int, union_budget: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        sims, ids = self.search_device(queries, k)
+        sims, ids = self.search_device(queries, k, union_budget)
         return np.asarray(sims), np.asarray(ids)
 
     def search_device(
-        self, queries, k: int
+        self, queries, k: int, union_budget: Optional[int] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-resident variant (no host readout — benchmarks and
-        device-side pipelines; `search` is the numpy-facing wrapper)."""
+        device-side pipelines; `search` is the numpy-facing wrapper).
+
+        `union_budget` fixes the union-scan gather at a STATIC cell count
+        instead of sizing it from the measured block unions (which needs
+        a host sync): the whole search — locality sort included — then
+        traces under jit/shard_map. Blocks whose true union exceeds the
+        budget drop their least-popular cells (see _union_scan_one);
+        recall decays gracefully and monotonically in the budget."""
         if self._db is None:
             raise ValueError("index is empty; call add() first")
         q_all = jnp.asarray(queries, dtype=jnp.float32)
@@ -551,16 +562,17 @@ class IVFIndex:
         # 12-21k q/s band; single-shot runs once showed 2.5x); kept
         # because the argsort is ~free and recall is unaffected — the
         # inverse permutation restores caller order.
+        union_ok = not traced or union_budget is not None
         perm = None
         if (
-            not traced
+            union_ok
             and q_all.shape[0] > qb
             and q_all.shape[0] >= self.UNION_MIN_Q
         ):
             route_all = _route_sims(q_all, self._centroids, self.metric)
             perm = jnp.argsort(jnp.argmax(route_all, axis=-1))
             q_all = q_all[perm]
-        if not traced and q_all.shape[0] >= self.UNION_MIN_Q:
+        if union_ok and q_all.shape[0] >= self.UNION_MIN_Q:
             # ONE host sync sizes every block's gather (vs a scalar fetch
             # per block — tens of ms each through the relay). The tail
             # block is padded by repeating the last row: extra cells only
@@ -576,14 +588,18 @@ class IVFIndex:
                 else q_all
             )
             q_blocks = q_pad.reshape(n_blocks, qb, -1)
-            u_vec = np.asarray(
-                _block_union_counts(
-                    q_blocks, self._centroids, self.metric, nprobe,
+            if union_budget is not None:
+                budgets = [min(int(union_budget), c)] * n_blocks
+            else:
+                u_vec = np.asarray(
+                    _block_union_counts(
+                        q_blocks, self._centroids, self.metric, nprobe,
+                    )
                 )
-            )
-            budgets = [
-                min(1 << max(int(u) - 1, 0).bit_length(), c) for u in u_vec
-            ]
+                budgets = [
+                    min(1 << max(int(u) - 1, 0).bit_length(), c)
+                    for u in u_vec
+                ]
             # group blocks by gather budget: ONE device dispatch per
             # distinct power-of-two budget (lax.scan over the stacked
             # blocks) instead of ~10 dispatches per block — the per-call

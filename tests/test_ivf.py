@@ -178,6 +178,39 @@ def test_ivf_route_sort_preserves_caller_order():
         np.testing.assert_allclose(s_multi[qi], s_one[0], rtol=2e-3)
 
 
+def test_ivf_union_budget_traces_under_jit():
+    """A static union_budget removes the host sync that kept the
+    union-scan path off traced callers: the whole search (locality sort
+    included) must run inside jit and match the host-path results at a
+    covering budget."""
+    import jax
+
+    db = _clustered(2048, 128, 32, seed=31)
+    index = IVFIndex(metric="cosine", nprobe=8).add(db)
+    queries = jnp.asarray(db[: IVFIndex.UNION_MIN_Q])
+    c = int(index._centroids.shape[0])
+
+    @jax.jit
+    def run(q):
+        return index.search_device(q, 10, union_budget=c)
+
+    s_t, i_t = run(queries)
+    assert i_t.shape == (queries.shape[0], 10)
+    # host path with the same explicit budget: identical code path, so
+    # ids match exactly (same blocking, same budget, same compile)
+    s_h, i_h = index.search_device(queries, 10, union_budget=c)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_h))
+    # and recall vs exact holds
+    _, exact_ids = flat_topk(jnp.asarray(db), queries, 10)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(i_t), np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.95, rec
+
+
 def test_ivf_grouped_scan_matches_per_block_fallback():
     """search_device dispatches same-budget blocks as ONE lax.scan
     (_union_scan_stacked); the direct per-block fallback

@@ -190,3 +190,58 @@ def test_sharded_ivf_index_recall_and_global_ids():
         ]
     )
     assert rec >= 0.9
+
+
+@pytest.mark.parametrize("rescore", [True, False])
+def test_sharded_ivf_union_budget_mode(rescore):
+    """union_budget > 0 replaces per-query DMA expansion with the
+    fixed-budget union scan inside shard_map (fully traced, no host
+    syncs). A budget covering every cell makes each shard's scan a
+    superset of the DMA path's candidates — recall must hold and
+    self-hits stay on top; global id mapping is shared with the DMA
+    epilogue."""
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.topk import flat_topk
+    from knn_for_homology_tpu.parallel.mesh import make_mesh
+    from knn_for_homology_tpu.parallel.scale import ShardedIVFIndex
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(32, 64).astype(np.float32)
+    assign = rng.randint(0, 32, 1030)
+    db = centers[assign] + 0.08 * rng.randn(1030, 64).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+
+    mesh = make_mesh(jax.device_count())
+    index = ShardedIVFIndex(
+        mesh, metric="cosine", nprobe=8, rescore=rescore,
+        union_budget=4096,  # >= per-shard cells: full coverage
+    ).build(db)
+    queries = db[:64]
+    scores, ids = index.search(queries, 10)
+    assert ids.shape == (64, 10)
+    assert ids.max() < 1030 and (ids >= -1).all()
+    if rescore:
+        # fp32 rescore puts the exact self-hit on top and holds recall;
+        # without it the union buffer's bf16 dequantised scores carry
+        # double quantisation noise (int8 + bf16 matmul) — measured
+        # recall@10 ~0.5 on this tight-cluster set vs the DMA kernel's
+        # ~0.73 — so small-k quality claims are rescore-mode only (the
+        # single-chip IVFIndex defaults rescore on for exactly this)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(64))
+        _, exact_ids = flat_topk(jnp.asarray(db), jnp.asarray(queries), 10)
+        rec = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(ids, np.asarray(exact_ids))
+            ]
+        )
+        assert rec >= 0.9
+    # a tiny budget still returns valid results (graceful degradation)
+    small = ShardedIVFIndex(
+        mesh, metric="cosine", nprobe=4, rescore=rescore, union_budget=2,
+    ).build(db)
+    s2, i2 = small.search(queries, 10)
+    assert i2.shape == (64, 10)
+    assert (i2 < 1030).all() and (i2 >= -1).all()
