@@ -100,18 +100,25 @@ def encode_sequence(sequence: str, length: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("convention", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("convention", "unroll", "scan_chunk")
+)
 def sw_scores(
     q_codes: jnp.ndarray,  # [B, Lq] int32, -1 padding
     t_codes: jnp.ndarray,  # [B, Lt] int32, -1 padding
     convention: str = "blast",
     unroll: int = 1,
+    scan_chunk: int = 0,
 ) -> jnp.ndarray:
     """Local-alignment scores [B] for each (query, target) pair.
 
     `convention` picks the gap charging scheme (see GAP_FIRST). `unroll`
     unrolls the row scan (fewer XLA While trips — a compile-latency lever
-    on relayed-compile TPU setups, identical results)."""
+    on relayed-compile TPU setups, identical results). `scan_chunk` > 0
+    nests the row scan (outer scan over Lq/chunk groups of `chunk` rows):
+    identical carry flow and results, but the TPU compiler's
+    trip-count-superlinear scan cost (~14 s at 128 rows, ~300 s at 256)
+    is paid at the INNER trip count — the per-shape warm-up lever."""
     gap_first = GAP_FIRST[convention]
     n_aa = BLOSUM62.shape[0]
     b, lq = q_codes.shape
@@ -164,9 +171,20 @@ def sw_scores(
         jnp.full((lt, b), NEG),
         jnp.zeros((b,), jnp.float32),
     )
-    (_, _, best), _ = jax.lax.scan(
-        row_step, init, jnp.swapaxes(q_codes, 0, 1), unroll=unroll
-    )
+    rows = jnp.swapaxes(q_codes, 0, 1)  # [Lq, B]
+    if scan_chunk and lq > scan_chunk and lq % scan_chunk == 0:
+
+        def outer_step(carry, rows_c):
+            carry, _ = jax.lax.scan(
+                row_step, carry, rows_c, unroll=unroll
+            )
+            return carry, None
+
+        (_, _, best), _ = jax.lax.scan(
+            outer_step, init, rows.reshape(lq // scan_chunk, scan_chunk, b)
+        )
+    else:
+        (_, _, best), _ = jax.lax.scan(row_step, init, rows, unroll=unroll)
     return best
 
 
@@ -186,6 +204,7 @@ def align_pairs(
     bucket: int = 256,
     convention: str = "mmseqs",
     unroll: int = 1,
+    scan_chunk: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Align parallel lists of (query, target) sequence strings.
 
@@ -231,6 +250,7 @@ def align_pairs(
             sw_scores(
                 jnp.asarray(q), jnp.asarray(t),
                 convention=convention, unroll=unroll,
+                scan_chunk=scan_chunk,
             )
         )
         scores[list(sel)] = out[: len(sel)]

@@ -90,3 +90,22 @@ def test_padding_does_not_change_score():
     s1 = sw_scores(encode_sequence(q, 16)[None], encode_sequence(t, 16)[None])
     s2 = sw_scores(encode_sequence(q, 128)[None], encode_sequence(t, 64)[None])
     assert float(s1[0]) == float(s2[0])
+
+
+def test_nested_scan_chunk_identical_scores():
+    """scan_chunk nests the row scan (outer scan over row chunks) purely
+    to cut TPU compile latency; carry flow is identical, so scores must
+    be BIT-identical at every convention."""
+    rng = np.random.RandomState(5)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    qs = ["".join(rng.choice(list(aas), rng.randint(20, 120))) for _ in range(6)]
+    ts = ["".join(rng.choice(list(aas), rng.randint(20, 120))) for _ in range(6)]
+    q = np.stack([encode_sequence(s, 128) for s in qs])
+    t = np.stack([encode_sequence(s, 128) for s in ts])
+    for convention in ("blast", "mmseqs"):
+        base = np.asarray(sw_scores(q, t, convention=convention))
+        for chunk in (32, 64, 128):
+            nested = np.asarray(
+                sw_scores(q, t, convention=convention, scan_chunk=chunk)
+            )
+            np.testing.assert_array_equal(base, nested)
