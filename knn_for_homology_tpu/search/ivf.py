@@ -529,6 +529,8 @@ class IVFIndex:
         recall decays gracefully and monotonically in the budget."""
         if self._db is None:
             raise ValueError("index is empty; call add() first")
+        if union_budget is not None and union_budget <= 0:
+            union_budget = None  # 0/negative = "size from the blocks"
         q_all = jnp.asarray(queries, dtype=jnp.float32)
         if self.metric == "cosine":
             q_all = l2_normalize(q_all)
