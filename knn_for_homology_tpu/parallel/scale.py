@@ -386,7 +386,7 @@ class ShardedIVFIndex:
         # DMA expansion. Static budget keeps the whole shard program
         # traced (no host sync inside shard_map); cells beyond the budget
         # are the block's least-probed — recall decays gracefully.
-        self.union_budget = union_budget
+        self.union_budget = max(0, union_budget)  # <=0 = DMA path
         self._n = 0
         self._rows = 0  # db rows per shard (global-id offset unit)
         self._cent = None  # [S, C, d] f32
@@ -482,7 +482,13 @@ class ShardedIVFIndex:
                 if self.rescore
                 else k_eff
             )
+            d = q_rep.shape[1]
             qb = min(IVFIndex.QUERY_BLOCK, q_rep.shape[0])
+            # same rescore-gather transient cap as the single-chip path
+            # (ivf.py): _exact_rescore_rows materialises [qb, shortlist,
+            # d] f32 per block
+            while self.rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
+                qb //= 2
             n_blocks = -(-q_rep.shape[0] // qb)
             pad = n_blocks * qb - q_rep.shape[0]
             q_pad = (
@@ -493,18 +499,23 @@ class ShardedIVFIndex:
                 if pad
                 else q_rep
             )
-            parts = [
-                _union_scan_one(
-                    q_pad[b * qb : (b + 1) * qb], cent, pv, pi, sc,
-                    rsq, db, metric=search_metric, k_eff=k_eff,
-                    nprobe=nprobe, shortlist=shortlist,
-                    rescore=self.rescore, budget=budget,
+
+            # one scan body compile, not n_blocks inlined program copies
+            # (compile latency through the relay is the dominant cost)
+            def body(_, q):
+                return None, _union_scan_one(
+                    q, cent, pv, pi, sc, rsq, db,
+                    metric=search_metric, k_eff=k_eff, nprobe=nprobe,
+                    shortlist=shortlist, rescore=self.rescore,
+                    budget=budget,
                     int8_min_rows=IVFIndex.INT8_UNION_MIN_ROWS,
                 )
-                for b in range(n_blocks)
-            ]
-            vals = jnp.concatenate([p[0] for p in parts])[: q_rep.shape[0]]
-            ids = jnp.concatenate([p[1] for p in parts])[: q_rep.shape[0]]
+
+            _, (vals, ids) = jax.lax.scan(
+                body, None, q_pad.reshape(n_blocks, qb, d)
+            )
+            vals = vals.reshape(n_blocks * qb, -1)[: q_rep.shape[0]]
+            ids = ids.reshape(n_blocks * qb, -1)[: q_rep.shape[0]]
             return vals, ids
 
         def local(cent_s, pv_s, pi_s, sc_s, rsq_s, db_s, q_rep):

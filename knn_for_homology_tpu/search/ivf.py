@@ -314,15 +314,19 @@ def _exact_rescore_rows(db, q, ids, metric: str):
 def _union_scan_one(
     q, centroids, pv, pi, sc, row_sq, db, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
+    sel=None,
 ):
     """One query block through the batched union scan (traceable; static
-    `budget` cells). See IVFIndex docstring for the path's rationale."""
+    `budget` cells). See IVFIndex docstring for the path's rationale.
+    `sel` accepts precomputed probe selections (callers that already
+    routed, e.g. to size the budget)."""
     from ..ops.exact_pallas import exact_pallas_topk
 
     c = centroids.shape[0]
     d = db.shape[1]
-    route = _route_sims(q, centroids, metric)
-    _, sel = jax.lax.top_k(route, nprobe)
+    if sel is None:
+        route = _route_sims(q, centroids, metric)
+        _, sel = jax.lax.top_k(route, nprobe)
     # cells ranked by POPULARITY (how many of the block's queries probe
     # them): with a host-sized budget (>= the true union) this selects
     # exactly the probed cells, same as a bitmap; with a caller-fixed
@@ -536,30 +540,15 @@ class IVFIndex:
             q_all = l2_normalize(q_all)
         n = self.ntotal
         c = self._centroids.shape[0]
-        k_eff = min(k, n)
-        # candidate pool must cover k with headroom (2x: capacity padding
-        # and imperfect routing eat into the nominal nprobe*128 slots)
-        nprobe = min(max(self.nprobe, -(-2 * k_eff // CAPACITY)), c)
+        k_eff, nprobe, rescore, shortlist, qb = self.plan_blocks(k)
         interpret = jax.default_backend() != "tpu"
         pv, pi, sc = self._packed
-        rescore = k_eff <= self.RESCORE_MAX_K
-        # fp32 rescore SHORTLIST wider than k: int8 kernel scores carry
-        # ~0.4%-of-row-norm noise, so near-ties (e.g. a tight cluster's
-        # members) need the exact pass to pick the true top-k — a whole
-        # cluster's worth of headroom covers the worst near-tie case
-        shortlist = (
-            min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
-            if rescore
-            else k_eff
-        )
-        qb = self.QUERY_BLOCK
-        d = self._db.shape[1]
-        while rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
-            qb //= 2
         traced = isinstance(q_all, jax.core.Tracer)
-        # route-locality sort (host path only): queries grouped by their
-        # top-1 cell give each union-scan block a smaller cell union and
-        # the DMA path better slab reuse. Measured effect is noise-bound
+        # route-locality sort (host callers, and traced callers that set
+        # a static union_budget — argsort/gather trace fine; only the
+        # budget host sync doesn't): queries grouped by their top-1 cell
+        # give each union-scan block a smaller cell union and the DMA
+        # path better slab reuse. Measured effect is noise-bound
         # on the relay (best-of-3 runs put sorted and unsorted in the same
         # 12-21k q/s band; single-shot runs once showed 2.5x); kept
         # because the argsort is ~free and recall is unaffected — the
@@ -707,6 +696,7 @@ class IVFIndex:
         a per-block scalar fetch."""
         c = self._centroids.shape[0]
         pv, pi, sc = self._packed
+        sel = None
         if budget is None:
             route = _route_sims(q, self._centroids, self.metric)
             _, sel = jax.lax.top_k(route, nprobe)
@@ -719,8 +709,38 @@ class IVFIndex:
             q, self._centroids, pv, pi, sc, self._row_sq_arg(), self._db,
             metric=self.metric, k_eff=k_eff, nprobe=nprobe,
             shortlist=shortlist, rescore=rescore, budget=budget,
-            int8_min_rows=self.INT8_UNION_MIN_ROWS,
+            int8_min_rows=self.INT8_UNION_MIN_ROWS, sel=sel,
         )
+
+    def plan_blocks(self, k: int):
+        """Shared search sizing: (k_eff, nprobe, rescore, shortlist, qb).
+        `qb` is the EFFECTIVE query block (benches should report this,
+        not QUERY_BLOCK): the rescore pass materialises a
+        [qb, shortlist, d] f32 gather, so qb halves until the transient
+        fits ~2 GB.
+
+        * nprobe: the candidate pool must cover k with headroom (2x:
+          capacity padding and imperfect routing eat into the nominal
+          nprobe*128 slots).
+        * shortlist: fp32 rescore wider than k — int8 kernel scores carry
+          ~0.4%-of-row-norm noise, so near-ties (e.g. a tight cluster's
+          members) need the exact pass to pick the true top-k; a whole
+          cluster's worth of headroom covers the worst near-tie case."""
+        n = self.ntotal
+        c = self._centroids.shape[0]
+        k_eff = min(k, n)
+        nprobe = min(max(self.nprobe, -(-2 * k_eff // CAPACITY)), c)
+        rescore = k_eff <= self.RESCORE_MAX_K
+        shortlist = (
+            min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
+            if rescore
+            else k_eff
+        )
+        qb = self.QUERY_BLOCK
+        d = self._db.shape[1]
+        while rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
+            qb //= 2
+        return k_eff, nprobe, rescore, shortlist, qb
 
     def _row_sq_arg(self) -> jnp.ndarray:
         """The l2 additive term for the union-scan buffer; a [0, CAPACITY]

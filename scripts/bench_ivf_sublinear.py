@@ -135,8 +135,10 @@ def main():
         def ivf_run():
             return index.search_device(q_sorted, args.k)[1][inv_j]
 
+        # plan_blocks returns the EFFECTIVE query block (the rescore
+        # transient cap can halve QUERY_BLOCK) — report what actually ran
         timed(ivf_run, "ivf-union", {"nprobe": nprobe,
-                                     "qb": index.QUERY_BLOCK})
+                                     "qb": index.plan_blocks(args.k)[4]})
 
 
 if __name__ == "__main__":

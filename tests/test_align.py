@@ -100,7 +100,10 @@ def test_nested_scan_chunk_identical_scores():
     aas = "ACDEFGHIKLMNPQRSTVWY"
     qs = ["".join(rng.choice(list(aas), rng.randint(20, 120))) for _ in range(6)]
     ts = ["".join(rng.choice(list(aas), rng.randint(20, 120))) for _ in range(6)]
-    q = np.stack([encode_sequence(s, 128) for s in qs])
+    # lq=256 so every chunk below actually nests (sw_scores only nests
+    # when lq > chunk) — including the align_pairs default chunk of 128
+    # at its production Lq=256 bucket
+    q = np.stack([encode_sequence(s, 256) for s in qs])
     t = np.stack([encode_sequence(s, 128) for s in ts])
     for convention in ("blast", "mmseqs"):
         base = np.asarray(sw_scores(q, t, convention=convention))
