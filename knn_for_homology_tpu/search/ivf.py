@@ -603,20 +603,32 @@ class IVFIndex:
             out_v: list = [None] * n_blocks
             out_i: list = [None] * n_blocks
             for b, idxs in sorted(groups.items()):
-                stack = (
-                    q_blocks
-                    if len(idxs) == n_blocks
-                    else q_blocks[jnp.asarray(idxs, dtype=jnp.int32)]
-                )
-                vals, ids = _union_scan_stacked(
-                    stack, self._centroids, pv, pi, sc, row_sq, self._db,
-                    metric=self.metric, k_eff=k_eff, nprobe=nprobe,
-                    shortlist=shortlist, rescore=rescore, budget=b,
-                    int8_min_rows=self.INT8_UNION_MIN_ROWS,
-                )
-                for j, bi in enumerate(idxs):
-                    out_v[bi] = vals[j]
-                    out_i[bi] = ids[j]
+                # dispatch the group in power-of-two-sized chunks (largest
+                # first): the traced shape space stays {2^m blocks} ×
+                # {pow2 budgets} regardless of how unions happened to
+                # distribute, so a fresh group size never costs a fresh
+                # relay compile — a few extra ~ms dispatches beat minutes
+                # of compile
+                start = 0
+                while start < len(idxs):
+                    g = 1 << (len(idxs) - start).bit_length() - 1
+                    chunk = idxs[start : start + g]
+                    stack = (
+                        q_blocks
+                        if len(chunk) == n_blocks
+                        else q_blocks[jnp.asarray(chunk, dtype=jnp.int32)]
+                    )
+                    vals, ids = _union_scan_stacked(
+                        stack, self._centroids, pv, pi, sc, row_sq,
+                        self._db, metric=self.metric, k_eff=k_eff,
+                        nprobe=nprobe, shortlist=shortlist,
+                        rescore=rescore, budget=b,
+                        int8_min_rows=self.INT8_UNION_MIN_ROWS,
+                    )
+                    for j, bi in enumerate(chunk):
+                        out_v[bi] = vals[j]
+                        out_i[bi] = ids[j]
+                    start += g
             sims = jnp.concatenate(out_v, axis=0)[:q_n0]
             ids = jnp.concatenate(out_i, axis=0)[:q_n0]
             return self._finalize_search(sims, ids, k, perm)
