@@ -176,11 +176,22 @@ def flat_topk(
 
     `storage="sq8"` (approx only): stream the database as int8 + per-row
     scales through the packed kernel — half the HBM traffic of bf16 on the
-    restream-bound engine (FAISS SQ8's storage/recall trade).
+    restream-bound engine (FAISS SQ8's storage/recall trade). `db` may be
+    a prequantised `SQ8Database` (quantize_database): repeated searches
+    then skip the per-call quantisation passes (index-build work, like
+    FAISS's add()-time quantisation).
     """
-    db = jnp.asarray(db)
+    from .exact_pallas import SQ8Database
+
+    prequant = isinstance(db, SQ8Database)
+    if prequant:
+        if storage == "native":
+            storage = "sq8-sym" if metric != "l2" else "sq8"
+        n = db.n
+    else:
+        db = jnp.asarray(db)
+        n = db.shape[0]
     queries = jnp.asarray(queries)
-    n = db.shape[0]
     q_n = queries.shape[0]
     if q_n == 0:
         return (

@@ -12,6 +12,12 @@ BlockSpecs so pipeline/revisit overheads stay comparable:
   mxu       — dot + write row of dots into slot 0 (lower bound with the
               same memory traffic pattern)
 
+`--e2e` instead decomposes the WHOLE production call (the gap between the
+1.23 µs/step bare kernel = ~813k q/s extrapolated and the ~400k q/s
+end-to-end bench): packed_pallas_topk on a prequantised SQ8Database vs
+its pieces — query quantisation, kernel, decode epilogue (int32 top_k +
+id/value unpack) — all chained-rep timed in one jit.
+
 One JSON line per (variant, qb). Run on the TPU in the background.
 """
 
@@ -28,6 +34,77 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 N, D, K, QB_TOTAL = 131072, 1024, 1000, 8192
 TILE = 256
 R = 7
+
+
+def main_e2e():
+    """Decompose the full production call at QB_TOTAL queries."""
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops import exact_pallas as ep
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.graph_pallas import quantize_int8
+
+    key = jax.random.PRNGKey(0)
+    db = l2_normalize(jax.random.normal(key, (N, D), jnp.float32))
+    sq8 = ep.quantize_database(db)
+    queries = db[:QB_TOTAL]
+    n_tiles = N // TILE
+    jbits = max(1, (n_tiles - 1).bit_length())
+    width = R * TILE
+    buf_key = jax.random.PRNGKey(1)
+    buf = jax.random.randint(
+        buf_key, (QB_TOTAL, width), -(2**30), 2**30, jnp.int32
+    )
+    jax.block_until_ready((sq8.db_i8, queries, buf))
+    print("data ready", flush=True)
+
+    variants = {
+        # the whole production call on the prequantised db
+        "e2e_prequant": lambda x: ep.packed_pallas_topk(
+            sq8, x, K, metric="ip", query_block=512, recall_target=0.98
+        )[1],
+        # pieces
+        "quantize_q": lambda x: quantize_int8(x)[0],
+        "decode": lambda b: ep._decode_packed(b, K, TILE, jbits)[1],
+        # decode split: the int32 top_k alone vs the unpack arithmetic
+        "decode_topk": lambda b: jax.lax.top_k(b, K)[0],
+    }
+    inputs = {
+        "e2e_prequant": queries,
+        "quantize_q": queries,
+        "decode": buf,
+        "decode_topk": buf,
+    }
+
+    def chained(fn, reps):
+        def f(x):
+            acc = jnp.int32(0)
+            for _ in range(reps):
+                out = fn(x)
+                acc = acc + out.reshape(-1)[0].astype(jnp.int32)
+                x, acc = jax.lax.optimization_barrier((x, acc))
+            return acc
+        return jax.jit(f)
+
+    for name, fn in variants.items():
+        x = inputs[name]
+        lo, hi = (1, 4) if name == "e2e_prequant" else (2, 12)
+        f_lo, f_hi = chained(fn, lo), chained(fn, hi)
+        for f in (f_lo, f_hi):
+            jax.block_until_ready(f(x))
+        def fetch_time(f):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                float(f(x))
+            return (time.perf_counter() - t0) / 3
+        t = (fetch_time(f_hi) - fetch_time(f_lo)) / (hi - lo)
+        print(json.dumps({
+            "variant": name,
+            "ms_per_block": round(t * 1e3, 2),
+            "us_per_query": round(t / QB_TOTAL * 1e6, 3),
+            "qps_extrapolated": round(QB_TOTAL / max(t, 1e-9), 0),
+        }), flush=True)
 
 
 def main():
@@ -143,4 +220,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        main_e2e()
+    else:
+        main()

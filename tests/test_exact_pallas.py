@@ -349,6 +349,15 @@ def test_sq8_prequantized_database_matches_inline():
     ix.add(np.asarray(db[:8]))  # mutation invalidates the cache
     assert ix._db_sq8 is None
 
+    # flat_topk accepts the prequantised database directly (bench sq8-pq
+    # mode: quantisation is index-build work, outside the timed search)
+    from knn_for_homology_tpu.ops.topk import flat_topk
+
+    v3, i3 = flat_topk(dbq, q, k, metric="ip", approx=True)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i1))
+    with pytest.raises(ValueError):
+        flat_topk(dbq, q, k, metric="ip", approx=False)
+
 
 def test_sq8_kernels_compiled_match_interpret_on_tpu():
     """CI runs every sq8 test in interpret mode (CPU mesh); the Mosaic
