@@ -361,7 +361,10 @@ class ShardedIVFIndex:
     each shard's shortlist before the merge: int8 slab scores carry
     ~0.4%-of-row-norm noise that scrambles near-tie neighbours (tight
     clusters). `rescore=False` drops the fp32 copy for the memory-lean
-    mode (ids then order by the quantised scores).
+    mode; the shortlist is then re-scored in fp32 against the
+    DEQUANTISED slabs (search/ivf.py:_slab_rescore_rows) — only the
+    ~0.07% storage quantisation error stays caller-visible, like
+    IVFIndex(store_fp32=False).
     """
 
     def __init__(
@@ -395,6 +398,7 @@ class ShardedIVFIndex:
         self._sc = None  # [S, C, cap] f32
         self._row_sq = None  # [S, C, cap] f32 (l2 only)
         self._dbv = None  # [S, rows, d] f32 (rescore=True only)
+        self._slot = None  # [S, rows] int32: local id -> packed row
 
     @property
     def ntotal(self) -> int:
@@ -417,7 +421,7 @@ class ShardedIVFIndex:
         rows = v.shape[0] // n_shards
         self._rows = rows  # global id = local id + shard_idx * rows
         search_metric = "ip" if self.metric == "cosine" else self.metric
-        cents, pvs, pis, scs, rsqs = [], [], [], [], []
+        cents, pvs, pis, scs, rsqs, slots = [], [], [], [], [], []
         for s in range(n_shards):
             local = IVFIndex(
                 metric=search_metric,
@@ -430,6 +434,14 @@ class ShardedIVFIndex:
             pvs.append(np.asarray(pv))
             pis.append(np.asarray(pi))
             scs.append(np.asarray(sc))
+            # local id -> packed row, for the lean slab rescore
+            flat_ids = np.asarray(pi).reshape(-1)
+            slot = np.zeros((rows,), np.int32)
+            valid = flat_ids >= 0
+            slot[flat_ids[valid]] = np.arange(
+                flat_ids.shape[0], dtype=np.int32
+            )[valid]
+            slots.append(slot)
             if search_metric == "l2":
                 rsqs.append(np.asarray(local._row_sq))
             del local
@@ -439,6 +451,9 @@ class ShardedIVFIndex:
         self._pv = jax.device_put(np.stack(pvs), sh3)
         self._pi = jax.device_put(np.stack(pis), sh3)
         self._sc = jax.device_put(np.stack(scs), sh3)
+        self._slot = jax.device_put(
+            np.stack(slots), NamedSharding(flat, P(DATA_AXIS, None))
+        )
         if rsqs:
             self._row_sq = jax.device_put(np.stack(rsqs), sh3)
         if self.rescore:
@@ -472,22 +487,20 @@ class ShardedIVFIndex:
         interpret = jax.default_backend() != "tpu"
         chunk = IVFIndex.MAX_PROBE_PER_CALL
 
-        def local_union(cent, pv, pi, sc, rsq, db, q_rep):
+        rescore_mode = "db" if self.rescore else "slab"
+
+        def local_union(cent, pv, pi, sc, rsq, db, slot, q_rep):
             """Per-shard fixed-budget union scan (vals, local ids)."""
             from ..search.ivf import _union_scan_one
 
             budget = min(self.union_budget, c_local)
-            shortlist = (
-                min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
-                if self.rescore
-                else k_eff
-            )
+            shortlist = min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
             d = q_rep.shape[1]
             qb = min(IVFIndex.QUERY_BLOCK, q_rep.shape[0])
             # same rescore-gather transient cap as the single-chip path
-            # (ivf.py): _exact_rescore_rows materialises [qb, shortlist,
-            # d] f32 per block
-            while self.rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
+            # (ivf.py): the rescore materialises [qb, shortlist, d] f32
+            # per block in either mode
+            while qb > 256 and qb * shortlist * d * 4 > 2e9:
                 qb //= 2
             n_blocks = -(-q_rep.shape[0] // qb)
             pad = n_blocks * qb - q_rep.shape[0]
@@ -504,9 +517,9 @@ class ShardedIVFIndex:
             # (compile latency through the relay is the dominant cost)
             def body(_, q):
                 return None, _union_scan_one(
-                    q, cent, pv, pi, sc, rsq, db,
+                    q, cent, pv, pi, sc, rsq, db, slot,
                     metric=search_metric, k_eff=k_eff, nprobe=nprobe,
-                    shortlist=shortlist, rescore=self.rescore,
+                    shortlist=shortlist, rescore=rescore_mode,
                     budget=budget,
                     int8_min_rows=IVFIndex.INT8_UNION_MIN_ROWS,
                 )
@@ -518,12 +531,12 @@ class ShardedIVFIndex:
             ids = ids.reshape(n_blocks * qb, -1)[: q_rep.shape[0]]
             return vals, ids
 
-        def local(cent_s, pv_s, pi_s, sc_s, rsq_s, db_s, q_rep):
+        def local(cent_s, pv_s, pi_s, sc_s, rsq_s, db_s, slot_s, q_rep):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             cent, pv, pi, sc = cent_s[0], pv_s[0], pi_s[0], sc_s[0]
             if self.union_budget:
                 vals, ids = local_union(
-                    cent, pv, pi, sc, rsq_s[0], db_s[0], q_rep
+                    cent, pv, pi, sc, rsq_s[0], db_s[0], slot_s[0], q_rep
                 )
                 return merge(vals, ids, shard_idx, q_rep)
             route = _route_sims(q_rep, cent, search_metric)
@@ -555,32 +568,37 @@ class ShardedIVFIndex:
                 q_rep.shape[0], -1
             )
             cand_s = jnp.where(cand_i >= 0, cand_s, -jnp.inf)
-            short = (
-                min(max(4 * k_eff, 128), cand_s.shape[1])
-                if self.rescore
-                else min(k_eff, cand_s.shape[1])
-            )
+            short = min(max(4 * k_eff, 128), cand_s.shape[1])
             vals, pos = jax.lax.top_k(cand_s, short)
             ids = jnp.take_along_axis(cand_i, pos, axis=1)
-            if self.rescore:
-                # exact fp32 scores for the shortlist, then the true top-k
-                # (int8 near-tie scrambling fixed like the single IVFIndex)
-                rows_f = db_s[0][jnp.clip(ids, 0, rows - 1)]
-                ex = jnp.einsum(
-                    "qkd,qd->qk", rows_f, q_rep,
-                    preferred_element_type=jnp.float32,
+            # fp32 rescore of the shortlist, then the true top-k (int8
+            # near-tie scrambling fixed like the single IVFIndex): exact
+            # rows when the fp32 copy exists, dequantised slab rows in
+            # the lean mode
+            safe = jnp.clip(ids, 0, rows - 1)
+            if rescore_mode == "db":
+                rows_f = db_s[0][safe]
+            else:
+                srows = slot_s[0][safe]
+                rows_f = (
+                    pv[srows].astype(jnp.float32)
+                    * sc.reshape(-1)[srows][..., None]
                 )
-                if search_metric == "l2":
-                    ex = (
-                        2.0 * ex
-                        - jnp.sum(jnp.square(rows_f), axis=-1)
-                        - q_sq[:, None]
-                    )
-                vals = jnp.where(ids >= 0, ex, -jnp.inf)
-                vals, order = jax.lax.top_k(
-                    vals, min(k_eff, vals.shape[1])
+            ex = jnp.einsum(
+                "qkd,qd->qk", rows_f, q_rep,
+                preferred_element_type=jnp.float32,
+            )
+            if search_metric == "l2":
+                r_sq = (
+                    jnp.sum(jnp.square(rows_f), axis=-1)
+                    if rescore_mode == "db"
+                    # exact fp32 norms survive the lean build
+                    else rsq_s[0].reshape(-1)[slot_s[0][safe]]
                 )
-                ids = jnp.take_along_axis(ids, order, axis=1)
+                ex = 2.0 * ex - r_sq - q_sq[:, None]
+            vals = jnp.where(ids >= 0, ex, -jnp.inf)
+            vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
+            ids = jnp.take_along_axis(ids, order, axis=1)
             return merge(vals, ids, shard_idx, q_rep)
 
         def merge(vals, ids, shard_idx, q_rep):
@@ -624,11 +642,12 @@ class ShardedIVFIndex:
                 P(DATA_AXIS, None, None),
                 P(DATA_AXIS, None, None),
                 P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None),
                 P(),
             ),
             out_specs=(P(), P()),
             check_vma=False,
-        )(self._cent, self._pv, self._pi, self._sc, rsq, dbv, q)
+        )(self._cent, self._pv, self._pi, self._sc, rsq, dbv, self._slot, q)
         sims, ids = np.asarray(sims), np.asarray(ids)
         if sims.shape[1] < k:  # k exceeded the pool: FAISS-style padding
             pad = k - sims.shape[1]
@@ -655,6 +674,11 @@ class ShardSweep:
 
     Reference scale anchor: the reference's UniRef90 case study ran MMseqs2
     on a 2×64-core server (SURVEY.md §6); its FAISS path never attempted it.
+
+    `index="graph"` (default) spills per-shard GraphIndex shards (beam
+    navigation); `index="ivf"` spills per-shard IVFIndex shards (the
+    equal-memory sub-linear mode — k-means routing + int8 cluster slabs,
+    union-scanned per query block).
     """
 
     def __init__(
@@ -666,7 +690,14 @@ class ShardSweep:
         expand: int = 8,
         iters: int = 8,
         k_local: Optional[int] = None,
+        index: str = "graph",
+        nprobe: int = 16,
+        n_clusters: int = 0,
+        kmeans_iters: int = 8,
+        store_fp32: bool = False,
     ):
+        if index not in ("graph", "ivf"):
+            raise ValueError(f"unknown shard index type {index!r}")
         self.shard_dir = Path(shard_dir)
         self.shard_dir.mkdir(parents=True, exist_ok=True)
         self.metric = metric
@@ -675,6 +706,13 @@ class ShardSweep:
         self.expand = expand
         self.iters = iters
         self.k_local = k_local
+        self.index = index
+        self.nprobe = nprobe
+        self.n_clusters = n_clusters
+        self.kmeans_iters = kmeans_iters
+        # IVF shards default to the lean layout (int8 slabs only, no
+        # fp32 rescore): the sweep's point is max rows per chip
+        self.store_fp32 = store_fp32
         self._rows: List[int] = []
 
     @property
@@ -682,26 +720,41 @@ class ShardSweep:
         return int(sum(self._rows))
 
     def _path(self, s: int) -> Path:
-        return self.shard_dir / f"graph_shard_{s:04d}.npz"
+        return self.shard_dir / f"{self.index}_shard_{s:04d}.npz"
 
     def build_shard(self, vectors) -> float:
-        """Build shard `len(self._rows)`'s graph on device and spill it.
+        """Build shard `len(self._rows)`'s index on device and spill it.
         Returns the build seconds (device work only; spill IO excluded)."""
         import time as _time
 
-        from ..search.graph import GraphIndex
         from ..search.io import write_index
 
         s = len(self._rows)
         t0 = _time.perf_counter()
-        index = GraphIndex(
-            metric=self.metric,
-            degree=self.degree,
-            beam_width=self.beam_width,
-            expand=self.expand,
-            iters=self.iters,
-        ).add(vectors)
-        jax.block_until_ready(index._graph)
+        if self.index == "ivf":
+            from ..search.ivf import IVFIndex
+
+            index = IVFIndex(
+                metric=self.metric,
+                nprobe=self.nprobe,
+                n_clusters=self.n_clusters,
+                kmeans_iters=self.kmeans_iters,
+                store_fp32=self.store_fp32,
+            ).add(vectors)
+        else:
+            from ..search.graph import GraphIndex
+
+            index = GraphIndex(
+                metric=self.metric,
+                degree=self.degree,
+                beam_width=self.beam_width,
+                expand=self.expand,
+                iters=self.iters,
+            ).add(vectors)
+        jax.block_until_ready(
+            [x for x in jax.tree_util.tree_leaves(vars(index))
+             if isinstance(x, jax.Array)]
+        )
         seconds = _time.perf_counter() - t0
         write_index(index, self._path(s))
         self._rows.append(index.ntotal)
@@ -729,7 +782,10 @@ class ShardSweep:
             # sync the shard's lazy host->device transfer BEFORE the timer:
             # per-shard seconds must reflect the device pass a pod chip
             # would run concurrently, not this machine's load bandwidth
-            jax.block_until_ready(index._db)
+            jax.block_until_ready(
+                [x for x in jax.tree_util.tree_leaves(vars(index))
+                 if isinstance(x, jax.Array)]
+            )
             # beam_search is a module-level jit: shard 0 pays the compile,
             # later shards hit the cache (report the median outside)
             t0 = _time.perf_counter()

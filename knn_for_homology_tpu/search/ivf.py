@@ -311,16 +311,47 @@ def _exact_rescore_rows(db, q, ids, metric: str):
     return jnp.where(ids >= 0, s, -jnp.inf)
 
 
+def _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric: str):
+    """fp32 re-scoring of final candidates from the DEQUANTISED int8
+    slabs — the lean (store_fp32=False) analog of _exact_rescore_rows.
+    The union scan's bf16 matmul (and double-sided int8 quantisation on
+    the large-union path) carries ~0.4%-of-score noise; re-scoring the
+    shortlist in fp32 against the dequantised stored rows removes the
+    COMPUTE noise, leaving only the one-sided storage quantisation error
+    (~0.07% at d=128) — below typical within-cluster neighbour gaps, so
+    small-k ordering survives without keeping any fp32 rows."""
+    safe = jnp.clip(ids, 0, slot.shape[0] - 1)
+    srows = slot[safe]  # [q, k] packed slot index
+    rows = pv[srows].astype(jnp.float32) * sc.reshape(-1)[srows][..., None]
+    s = jnp.einsum(
+        "qkd,qd->qk", rows, q, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        # the exact fp32 row norms survive the lean build (_row_sq)
+        s = (
+            2.0 * s
+            - row_sq.reshape(-1)[srows]
+            - jnp.sum(jnp.square(q), axis=-1)[:, None]
+        )
+    return jnp.where(ids >= 0, s, -jnp.inf)
+
+
 def _union_scan_one(
-    q, centroids, pv, pi, sc, row_sq, db, *,
+    q, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
     sel=None,
 ):
     """One query block through the batched union scan (traceable; static
     `budget` cells). See IVFIndex docstring for the path's rationale.
     `sel` accepts precomputed probe selections (callers that already
-    routed, e.g. to size the budget)."""
+    routed, e.g. to size the budget). `rescore` is a static mode:
+    False, "db" (fp32 rows; True is accepted as an alias), or "slab"
+    (dequantised-slab rescore for the lean layout — `slot` maps global
+    ids to packed rows; pass a length-0 placeholder otherwise)."""
     from ..ops.exact_pallas import exact_pallas_topk
+
+    if rescore is True:
+        rescore = "db"
 
     c = centroids.shape[0]
     d = db.shape[1]
@@ -375,7 +406,10 @@ def _union_scan_one(
     if metric == "l2":
         vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
     if rescore:
-        vals = _exact_rescore_rows(db, q, ids, metric)
+        if rescore == "slab":
+            vals = _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric)
+        else:
+            vals = _exact_rescore_rows(db, q, ids, metric)
         vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
         ids = jnp.take_along_axis(ids, order, axis=1)
     elif vals.shape[1] > k_eff:
@@ -392,7 +426,7 @@ def _union_scan_one(
     ),
 )
 def _union_scan_stacked(
-    q_blocks, centroids, pv, pi, sc, row_sq, db, *,
+    q_blocks, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
 ):
     """All same-budget query blocks in ONE device call: a lax.scan over
@@ -405,7 +439,7 @@ def _union_scan_stacked(
 
     def body(_, q):
         return None, _union_scan_one(
-            q, centroids, pv, pi, sc, row_sq, db,
+            q, centroids, pv, pi, sc, row_sq, db, slot,
             metric=metric, k_eff=k_eff, nprobe=nprobe, shortlist=shortlist,
             rescore=rescore, budget=budget, int8_min_rows=int8_min_rows,
         )
@@ -456,6 +490,7 @@ class IVFIndex:
         nprobe: int = 16,
         kmeans_iters: int = 8,
         prefs: int = 4,  # ranked cluster choices for capacity balancing
+        store_fp32: bool = True,
         config: Optional[SearchConfig] = None,
     ):
         self.metric = metric
@@ -463,25 +498,48 @@ class IVFIndex:
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
         self.prefs = prefs
+        # store_fp32=False is the memory-lean mode: the fp32 rows are
+        # dropped right after build, so the device footprint is ONLY the
+        # int8 cluster slabs + scales/ids + centroids (~n*(d+12) bytes —
+        # less than HALF of FAISS HNSW's fp32 vectors + links). Small-k
+        # near-tie ordering is preserved by re-scoring the shortlist in
+        # fp32 against the DEQUANTISED slabs (_slab_rescore_rows): only
+        # the ~0.07% storage quantisation error remains caller-visible,
+        # not the scan's ~0.4% bf16/int8 compute noise. The remaining
+        # cost: no incremental add() after build (the source rows are
+        # gone). ShardedIVFIndex(rescore=False) is the sharded analog.
+        self.store_fp32 = store_fp32
         self.config = config or SearchConfig(metric=metric)
         self._db: Optional[jnp.ndarray] = None
+        self._n = 0
+        self._d = 0
         self._centroids: Optional[jnp.ndarray] = None
         self._members: Optional[np.ndarray] = None
         self._packed = None  # (vecs int8 [C*128, d], ids [C,128], scales)
+        self._slot = None  # [n] int32: global id -> packed row (lazy)
         self._row_sq: Optional[jnp.ndarray] = None  # l2 additive term
 
     @property
     def ntotal(self) -> int:
-        return 0 if self._db is None else self._db.shape[0]
+        return self._n
 
     def add(self, vectors) -> "IVFIndex":
+        if self._n and self._db is None:
+            raise ValueError(
+                "store_fp32=False dropped the fp32 rows at build; a lean"
+                " index cannot add() incrementally — rebuild from the"
+                " source vectors"
+            )
         v = jnp.asarray(vectors, dtype=jnp.float32)
         if self.metric == "cosine":
             v = l2_normalize(v)
         if self._db is not None:
             v = jnp.concatenate([self._db, v], axis=0)
         self._db = jax.device_put(v)
+        self._n, self._d = int(v.shape[0]), int(v.shape[1])
         self._build()
+        if not self.store_fp32:
+            self._db = None
         return self
 
     def _auto_clusters(self, n: int) -> int:
@@ -506,6 +564,7 @@ class IVFIndex:
             self._db, jnp.asarray(self._members), CAPACITY
         )
         self._packed = (pv, pi, sc)
+        self._slot = None  # stale after a re-pack (incremental add)
         if self.metric == "l2":
             sq = jnp.sum(jnp.square(self._db), axis=-1)
             safe = jnp.clip(jnp.asarray(self._members), 0, n - 1)
@@ -531,7 +590,7 @@ class IVFIndex:
         traces under jit/shard_map. Blocks whose true union exceeds the
         budget drop their least-popular cells (see _union_scan_one);
         recall decays gracefully and monotonically in the budget."""
-        if self._db is None:
+        if self._n == 0:
             raise ValueError("index is empty; call add() first")
         if union_budget is not None and union_budget <= 0:
             union_budget = None  # 0/negative = "size from the blocks"
@@ -620,7 +679,8 @@ class IVFIndex:
                     )
                     vals, ids = _union_scan_stacked(
                         stack, self._centroids, pv, pi, sc, row_sq,
-                        self._db, metric=self.metric, k_eff=k_eff,
+                        self._db_arg(), self._slot_arg(),
+                        metric=self.metric, k_eff=k_eff,
                         nprobe=nprobe, shortlist=shortlist,
                         rescore=rescore, budget=b,
                         int8_min_rows=self.INT8_UNION_MIN_ROWS,
@@ -718,8 +778,9 @@ class IVFIndex:
             u = int(jnp.sum(probed))  # one scalar fetch per block
             budget = min(1 << max(u - 1, 0).bit_length(), c)
         return _union_scan_one(
-            q, self._centroids, pv, pi, sc, self._row_sq_arg(), self._db,
-            metric=self.metric, k_eff=k_eff, nprobe=nprobe,
+            q, self._centroids, pv, pi, sc, self._row_sq_arg(),
+            self._db_arg(), self._slot_arg(), metric=self.metric,
+            k_eff=k_eff, nprobe=nprobe,
             shortlist=shortlist, rescore=rescore, budget=budget,
             int8_min_rows=self.INT8_UNION_MIN_ROWS, sel=sel,
         )
@@ -742,14 +803,18 @@ class IVFIndex:
         c = self._centroids.shape[0]
         k_eff = min(k, n)
         nprobe = min(max(self.nprobe, -(-2 * k_eff // CAPACITY)), c)
-        rescore = k_eff <= self.RESCORE_MAX_K
+        # lean mode (store_fp32=False) rescores from the dequantised
+        # slabs instead of the (dropped) fp32 rows
+        rescore = False
+        if k_eff <= self.RESCORE_MAX_K:
+            rescore = "db" if self._db is not None else "slab"
         shortlist = (
             min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
             if rescore
             else k_eff
         )
         qb = self.QUERY_BLOCK
-        d = self._db.shape[1]
+        d = self._d
         while rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
             qb //= 2
         return k_eff, nprobe, rescore, shortlist, qb
@@ -761,35 +826,98 @@ class IVFIndex:
             return self._row_sq
         return jnp.zeros((0, CAPACITY), jnp.float32)
 
+    def _db_arg(self) -> jnp.ndarray:
+        """fp32 rows for the rescore pass; a [0, d] placeholder when the
+        lean mode dropped them (rescore mode is then "slab" — the union
+        scan only reads `db.shape[1]`)."""
+        if self._db is not None:
+            return self._db
+        return jnp.zeros((0, self._d), jnp.float32)
+
+    def _slot_arg(self) -> jnp.ndarray:
+        """[n] int32 global id -> packed slab row, for the lean slab
+        rescore ([0] placeholder when fp32 rows exist). Built lazily by
+        inverting the packed id table (each row lives in exactly ONE
+        capacity-balanced cell; padding slots scatter into a discarded
+        overflow entry)."""
+        if self._db is not None:
+            return jnp.zeros((0,), jnp.int32)
+        if self._slot is None:
+            flat = self._packed[1].reshape(-1)
+            idx = jnp.where(flat >= 0, flat, self._n)
+            self._slot = (
+                jnp.zeros((self._n + 1,), jnp.int32)
+                .at[idx]
+                .set(jnp.arange(flat.shape[0], dtype=jnp.int32))[: self._n]
+            )
+        return self._slot
+
     def _exact_rescore(self, q, ids):
-        return _exact_rescore_rows(self._db, q, ids, self.metric)
+        if self._db is not None:
+            return _exact_rescore_rows(self._db, q, ids, self.metric)
+        pv, _, sc = self._packed
+        return _slab_rescore_rows(
+            pv, sc, self._row_sq_arg(), self._slot_arg(), q, ids,
+            self.metric,
+        )
 
     # --- persistence payload (see search/io.py) ---
     def state(self) -> dict:
-        return {
+        base = {
             "kind": "ivf",
             "metric": self.metric,
             "n_clusters": self._centroids.shape[0],
             "nprobe": self.nprobe,
             "kmeans_iters": self.kmeans_iters,
             "prefs": self.prefs,
-            "vectors": np.asarray(self._db),
             "centroids": np.asarray(self._centroids),
             "members": np.asarray(self._members),
         }
+        if self._db is not None:
+            base["vectors"] = np.asarray(self._db)
+            return base
+        # lean layout: the int8 slabs ARE the index — persist them
+        # directly so the round-trip is bit-identical (re-quantising a
+        # dequantised reconstruction would not be)
+        pv, pi, sc = self._packed
+        base.update(
+            lean=1,
+            n=self._n,
+            d=self._d,
+            packed_vecs=np.asarray(pv),
+            packed_ids=np.asarray(pi),
+            packed_scales=np.asarray(sc),
+        )
+        if self._row_sq is not None:
+            base["row_sq"] = np.asarray(self._row_sq)
+        return base
 
     @classmethod
     def from_state(cls, state: dict) -> "IVFIndex":
+        lean = "lean" in state and bool(np.asarray(state["lean"]))
         index = cls(
             metric=str(state["metric"]),
             n_clusters=int(state["n_clusters"]),
             nprobe=int(state["nprobe"]),
             kmeans_iters=int(state["kmeans_iters"]),
             prefs=int(state["prefs"]),
+            store_fp32=not lean,
         )
-        index._db = jnp.asarray(state["vectors"])
         index._centroids = jnp.asarray(state["centroids"])
         index._members = np.asarray(state["members"])
+        if lean:
+            index._n = int(state["n"])
+            index._d = int(state["d"])
+            index._packed = (
+                jnp.asarray(state["packed_vecs"]),
+                jnp.asarray(state["packed_ids"]),
+                jnp.asarray(state["packed_scales"]),
+            )
+            if "row_sq" in state:
+                index._row_sq = jnp.asarray(state["row_sq"])
+            return index
+        index._db = jnp.asarray(state["vectors"])
+        index._n, index._d = (int(s) for s in index._db.shape)
         pv, pi, sc = gp.pack_neighbours(
             index._db, jnp.asarray(index._members), CAPACITY
         )

@@ -64,14 +64,28 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--q", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--index",
+        default="graph",
+        choices=["graph", "ivf"],
+        help="per-shard index: graph = beam navigation; ivf = k-means"
+        " routing + int8 cluster slabs (the equal-memory sub-linear mode)",
+    )
+    ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--dir", type=Path, default=Path("/tmp/uniref_rehearsal"))
     args = ap.parse_args()
     shards = args.shards or (16 if args.full else 4)
     rows = args.rows or (262144 if args.full else 8192)
     n = shards * rows
-    print(f"n={n} ({shards} shards x {rows}), d={args.d}", flush=True)
+    print(
+        f"n={n} ({shards} shards x {rows}), d={args.d}, index={args.index}",
+        flush=True,
+    )
 
-    sweep = ShardSweep(args.dir, degree=42, beam_width=128, expand=8, iters=8)
+    sweep = ShardSweep(
+        args.dir, degree=42, beam_width=128, expand=8, iters=8,
+        index=args.index, nprobe=args.nprobe, kmeans_iters=8,
+    )
     build_secs = []
     for s in range(shards):
         vecs = shard_vectors(1000 + s, rows, args.d, n_centers=max(rows // 64, 8))
@@ -123,7 +137,11 @@ def main():
     recall = np.mean(
         [len(set(ids[i]) & set(gt[i])) / args.k for i in range(args.q)]
     )
-    hbm_mb = (rows * args.d * 4 + rows * 42 * 4) / 1e6
+    if args.index == "ivf":
+        # int8 cluster slabs (capacity-padded ~2x) + scales/ids + centroids
+        hbm_mb = (2 * rows * (args.d + 8) + rows // 64 * args.d * 4) / 1e6
+    else:
+        hbm_mb = (rows * args.d * 4 + rows * 42 * 4) / 1e6
     print(
         f"recall@{args.k} vs sharded-exact: {recall:.4f}; "
         f"per-shard HBM {hbm_mb:.0f} MB; peak host RSS {rss_mb():.0f} MB",

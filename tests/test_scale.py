@@ -245,3 +245,44 @@ def test_sharded_ivf_union_budget_mode(rescore):
     s2, i2 = small.search(queries, 10)
     assert i2.shape == (64, 10)
     assert (i2 < 1030).all() and (i2 >= -1).all()
+
+
+def test_shard_sweep_ivf(tmp_path):
+    """ShardSweep(index='ivf'): lean int8 IVF shards through the same
+    spill/sweep/merge contract as the graph shards (the equal-memory
+    sub-linear mode for the UniRef90-scale rehearsal)."""
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.topk import flat_topk
+    from knn_for_homology_tpu.parallel.scale import ShardSweep
+
+    rng = np.random.RandomState(1)
+    shards, rows, d, k = 3, 256, 32, 5
+    chunks = [
+        (rng.randn(rows, d) / np.sqrt(d)).astype(np.float32)
+        for _ in range(shards)
+    ]
+    sweep = ShardSweep(tmp_path / "shards", index="ivf", nprobe=8)
+    for c in chunks:
+        assert sweep.build_shard(c) > 0
+    assert sweep.ntotal == shards * rows
+    # lean layout on disk: no fp32 vectors in the shard files
+    import numpy as _np
+
+    with _np.load(sweep._path(0), allow_pickle=False) as data:
+        assert "vectors" not in data.files
+        assert "packed_vecs" in data.files
+    queries = chunks[1][:17] + 0.01 * rng.randn(17, d).astype(np.float32)
+    scores, ids, shard_secs = sweep.search(queries, k)
+    assert len(shard_secs) == shards
+    db = np.concatenate(chunks)
+    db = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    _, gt = flat_topk(jnp.asarray(db), jnp.asarray(qn), k)
+    gt = np.asarray(gt)
+    recall = np.mean([
+        len(set(ids[i]) & set(gt[i])) / k for i in range(len(ids))
+    ])
+    assert recall > 0.9, recall
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    assert ids.max() < shards * rows and ids.min() >= 0
