@@ -1,7 +1,9 @@
 """Index-builder CLI — parity with the reference's console script
 ``seqvec_search_create_index`` (reference: seqvec_search/create_index.py:18-47,
-pyproject.toml:28-30): builds an LSH index over a dataset's train.npy and
-persists it.
+pyproject.toml:28-30): builds an index over a dataset's train.npy and
+persists it. The reference script only builds FAISS LSH; ``--kind``
+additionally exposes this framework's graph and IVF ANN indexes (incl.
+the memory-lean int8-slab IVF layout) through the same contract.
 """
 
 import argparse
@@ -13,7 +15,6 @@ import numpy as np
 
 from ..utils.logging import configure_logging
 from .io import write_index
-from .lsh import LSHIndex
 
 logger = logging.getLogger(__name__)
 
@@ -31,21 +32,61 @@ def create_index_main(args: Optional[Sequence[str]] = None) -> None:
         "--index", type=Path, required=True, help="The location to write the index to"
     )
     parser.add_argument(
+        "--kind",
+        choices=["lsh", "graph", "ivf"],
+        default="lsh",
+        help="Index family: lsh (reference parity, the default), graph"
+        " (beam-search ANN), or ivf (k-means-routed int8 cluster slabs)",
+    )
+    parser.add_argument(
         "--param",
         type=int,
         default=1024,
-        help="The tuning parameter of the index (LSH bits). Higher means higher precision",
+        help="The tuning parameter of the index. lsh: hash bits (higher ="
+        " higher precision); graph: beam width; ivf: nprobe*64 (e.g. 1024"
+        " -> nprobe 16)",
+    )
+    parser.add_argument(
+        "--lean",
+        action="store_true",
+        help="ivf only: drop the fp32 rows after build (int8-slab-only"
+        " layout, under half of FAISS HNSW's memory; shortlists are"
+        " rescored from the dequantised slabs)",
     )
     opts = parser.parse_args(args)
 
     train = opts.dir / "train.npy"
     logger.info("Loading database from %s", train)
     embeddings = np.load(train)
-    logger.info(
-        "Building %d-bit LSH index on %s", opts.param, embeddings.shape
-    )
-    index = LSHIndex(embeddings.shape[1], nbits=opts.param).add(embeddings)
-    logger.info("Writing the LSH index to %s", opts.index)
+    if opts.kind == "graph":
+        from .graph import GraphIndex
+
+        logger.info(
+            "Building graph index (beam %d) on %s", opts.param,
+            embeddings.shape,
+        )
+        index = GraphIndex(beam_width=opts.param).add(embeddings)
+    elif opts.kind == "ivf":
+        from .ivf import IVFIndex
+
+        nprobe = max(1, opts.param // 64)
+        logger.info(
+            "Building %sIVF index (nprobe %d) on %s",
+            "lean " if opts.lean else "", nprobe, embeddings.shape,
+        )
+        index = IVFIndex(
+            nprobe=nprobe, store_fp32=not opts.lean
+        ).add(embeddings)
+    else:
+        from .lsh import LSHIndex
+
+        logger.info(
+            "Building %d-bit LSH index on %s", opts.param, embeddings.shape
+        )
+        index = LSHIndex(embeddings.shape[1], nbits=opts.param).add(
+            embeddings
+        )
+    logger.info("Writing the %s index to %s", opts.kind, opts.index)
     write_index(index, opts.index)
 
 

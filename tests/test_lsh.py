@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from knn_for_homology_tpu.search import (
     FlatIndex,
@@ -82,6 +83,36 @@ def test_create_index_cli(synthetic_dataset):
     q = np.load(synthetic_dataset / "test.npy")
     ids, scores, _ = knn_search(loaded, q, hits=5)
     assert ids.shape == (q.shape[0], 5)
+
+
+@pytest.mark.parametrize(
+    "extra, kind",
+    [
+        (["--kind", "graph", "--param", "32"], "GraphIndex"),
+        (["--kind", "ivf", "--param", "256"], "IVFIndex"),
+        (["--kind", "ivf", "--param", "256", "--lean"], "IVFIndex"),
+    ],
+)
+def test_create_index_cli_kinds(synthetic_dataset, extra, kind):
+    """--kind exposes the graph and IVF (incl. lean int8-slab) builds
+    through the same persist-then-search contract as the reference's
+    LSH-only script."""
+    from knn_for_homology_tpu.search.cli import create_index_main
+
+    index_path = synthetic_dataset / "index.bin"
+    create_index_main(
+        ["--dir", str(synthetic_dataset), "--index", str(index_path)]
+        + extra
+    )
+    loaded = read_index(index_path)
+    assert type(loaded).__name__ == kind
+    if "--lean" in extra:
+        assert loaded._db is None
+    q = np.load(synthetic_dataset / "test.npy")
+    ids, scores, _ = knn_search(loaded, q, hits=5)
+    assert ids.shape == (q.shape[0], 5)
+    # the fixture's families are well separated: top-1 self-family hit
+    assert (ids[:, 0] >= 0).all()
 
 
 def test_graph_persistence_keeps_search_settings(tmp_path):
