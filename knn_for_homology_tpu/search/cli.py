@@ -54,6 +54,9 @@ def create_index_main(args: Optional[Sequence[str]] = None) -> None:
         " rescored from the dequantised slabs)",
     )
     opts = parser.parse_args(args)
+    if opts.lean and opts.kind != "ivf":
+        # loud, not silent: an ignored explicit flag masks a wrong layout
+        parser.error("--lean applies to --kind ivf only")
 
     train = opts.dir / "train.npy"
     logger.info("Loading database from %s", train)

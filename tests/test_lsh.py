@@ -162,3 +162,21 @@ def test_cached_array_non_npy_suffix(tmp_path):
     out2 = cached_array(tmp_path / "hits.dat", compute)
     np.testing.assert_array_equal(out1, out2)
     assert len(calls) == 1  # the exact-name file must be found again
+
+
+def test_create_index_cli_lean_requires_ivf(tmp_path):
+    """--lean with a non-ivf kind is a loud usage error, not ignored."""
+    import pytest
+
+    from knn_for_homology_tpu.search.cli import create_index_main
+
+    rng = np.random.RandomState(3)
+    np.save(tmp_path / "train.npy", rng.randn(32, 16).astype(np.float32))
+    with pytest.raises(SystemExit):
+        create_index_main(
+            [
+                "--dir", str(tmp_path),
+                "--index", str(tmp_path / "x.npz"),
+                "--kind", "lsh", "--lean",
+            ]
+        )
