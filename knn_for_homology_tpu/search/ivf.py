@@ -61,6 +61,32 @@ def _route_sims(queries, centroids, metric):
     return dots
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "p", "block"))
+def _route_prefs_blocked(db, centroids, metric, p, block):
+    """[N, p] ranked nearest-centroid preferences in row blocks: top_k
+    forces the [rows, C] similarity matrix to materialise (unlike the
+    k-means argmax, which XLA fuses into the assignment matmul), and the
+    all-at-once [N, C] f32 matrix is 68 GB at n=2^20/c=16k — HBM OOM.
+    lax.map bounds the transient at [block, C]."""
+    n = db.shape[0]
+    pad = -n % block
+    db_p = jnp.pad(db, ((0, pad), (0, 0)))
+    blocks = db_p.reshape(-1, block, db.shape[1])
+
+    def one(v):
+        return jax.lax.top_k(_route_sims(v, centroids, metric), p)[1]
+
+    return jax.lax.map(one, blocks).reshape(-1, p)[:n]
+
+
+def _route_prefs(db, centroids, metric, p):
+    c = centroids.shape[0]
+    n = db.shape[0]
+    # [block, C] f32 transient <= ~256 MB
+    block = int(min(max(n, 1), max(256, (1 << 26) // max(c, 1))))
+    return _route_prefs_blocked(db, centroids, metric, p, block)
+
+
 @functools.partial(jax.jit, static_argnames=("metric_is_l2",))
 def _kmeans_assign(v, centroids, metric_is_l2: bool = False):
     dots = jnp.einsum(
@@ -553,10 +579,11 @@ class IVFIndex:
         self._centroids = _kmeans(
             self._db, c, self.kmeans_iters, self.metric
         )
-        # ranked preferences for balancing (top-P nearest centroids)
-        sims = _route_sims(self._db, self._centroids, self.metric)
+        # ranked preferences for balancing (top-P nearest centroids),
+        # computed block-wise: the one-shot [N, C] matrix OOMs above ~1M
+        # rows (see _route_prefs_blocked)
         p = min(self.prefs, c)
-        _, order2 = jax.lax.top_k(sims, p)
+        order2 = _route_prefs(self._db, self._centroids, self.metric, p)
         # device-resident end to end: fetching order2 to the host cost a
         # 30-600 s relay round-trip (the old dominant build cost)
         self._members = _balanced_members(order2, c, CAPACITY)

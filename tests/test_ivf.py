@@ -344,3 +344,28 @@ def test_ivf_lean_persistence_roundtrip(tmp_path):
     s2, i2 = loaded.search(db[:32], 9)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_route_prefs_blocked_matches_oneshot():
+    """The blocked preference routing (which bounds the [rows, C]
+    transient — the one-shot [N, C] matrix OOMed HBM at n=2^20/c=16k)
+    must return exactly the one-shot top_k preferences, including when
+    the block size forces padding."""
+    import jax
+
+    from knn_for_homology_tpu.search.ivf import (
+        _route_prefs_blocked,
+        _route_sims,
+    )
+
+    rng = np.random.RandomState(5)
+    db = rng.randn(190, 32).astype(np.float32)  # 190 = 2*64 + 62 (pad)
+    cents = rng.randn(16, 32).astype(np.float32)
+    for metric in ("cosine", "l2"):
+        want = jax.lax.top_k(
+            _route_sims(jnp.asarray(db), jnp.asarray(cents), metric), 4
+        )[1]
+        got = _route_prefs_blocked(
+            jnp.asarray(db), jnp.asarray(cents), metric, 4, 64
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
