@@ -646,8 +646,10 @@ class IVFIndex:
             and q_all.shape[0] > qb
             and q_all.shape[0] >= self.UNION_MIN_Q
         ):
-            route_all = _route_sims(q_all, self._centroids, self.metric)
-            perm = jnp.argsort(jnp.argmax(route_all, axis=-1))
+            # blocked top-1 routing: the one-shot [Q, C] matrix is 4.3 GB
+            # at 65k queries x 16k cells (OOMed next to the 1M-row index)
+            top1 = _route_prefs(q_all, self._centroids, self.metric, 1)
+            perm = jnp.argsort(top1[:, 0])
             q_all = q_all[perm]
         if union_ok and q_all.shape[0] >= self.UNION_MIN_Q:
             # ONE host sync sizes every block's gather (vs a scalar fetch

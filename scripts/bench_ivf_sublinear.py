@@ -58,7 +58,7 @@ def main():
     from knn_for_homology_tpu.ops.exact_pallas import (
         exact_pallas_topk, packed_pallas_topk, quantize_database,
     )
-    from knn_for_homology_tpu.search.ivf import IVFIndex, _route_sims
+    from knn_for_homology_tpu.search.ivf import IVFIndex, _route_prefs
 
     db = make_clustered(jax.random.PRNGKey(0), args.n, args.d, args.clusters)
     queries = db[: args.queries]
@@ -121,9 +121,9 @@ def main():
     # callers search family-ordered corpora (and IVFIndex re-sorts
     # internally anyway; pre-sorting makes the timing represent the
     # locality the internal argsort would find)
-    top1 = np.asarray(jnp.argmax(
-        _route_sims(queries, index._centroids, "cosine"), axis=1
-    ))
+    top1 = np.asarray(
+        _route_prefs(queries, index._centroids, "cosine", 1)[:, 0]
+    )
     order = np.argsort(top1, kind="stable")
     inv = np.argsort(order)
     q_sorted = queries[jnp.asarray(order)]

@@ -1,8 +1,9 @@
 """UniRef90-scale rehearsal on one chip (VERDICT r1 #10).
 
-Builds a spilled sharded graph index over >= 4M synthetic clustered vectors
-by streaming shards through HBM (parallel/scale.py ShardSweep), then
-queries 4096 vectors and reports:
+Builds a spilled sharded ANN index (--index graph|ivf; ivf = lean
+int8-slab shards) over >= 4M synthetic clustered vectors by streaming
+shards through HBM (parallel/scale.py ShardSweep), then queries 4096
+vectors and reports:
 
   * per-shard build seconds (== per-chip build on a pod, builds being
     embarrassingly parallel)
