@@ -253,7 +253,10 @@ def _block_union_counts(q_blocks, centroids, metric: str, nprobe: int):
         probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
         return jnp.sum(probed)
 
-    return jax.vmap(one)(q_blocks)
+    # lax.map, not vmap: vmap materialises every block's [qb, C] routing
+    # matrix at once — 4.3 GB at 65k queries x 16k cells, an HBM OOM
+    # beside a 1M-row index; mapping keeps one block's transient live
+    return jax.lax.map(one, q_blocks)
 
 
 _BIAS_BIG = 3.0e4  # pad-row knockout; |real scores| << this at any metric
