@@ -50,12 +50,16 @@ def main() -> None:
     print("4. approximate indexes")
     from knn_for_homology_tpu.search import IVFIndex
 
+    # lean layout: int8 cluster slabs only (~n*(d+12) bytes on device);
+    # bound explicitly — it also anchors the persistence round-trip below
+    lean = IVFIndex(metric="cosine", nprobe=8, store_fp32=False).add(
+        ds.load_train()
+    )
     for name, index in [
         ("lsh", LSHIndex(dim=48, nbits=256).add(ds.load_train())),
         ("graph", GraphIndex(metric="cosine", degree=12, beam_width=48).add(ds.load_train())),
         ("ivf", IVFIndex(metric="cosine", nprobe=8).add(ds.load_train())),
-        # lean layout: int8 cluster slabs only (~n*(d+12) bytes on device)
-        ("ivf-lean", IVFIndex(metric="cosine", nprobe=8, store_fp32=False).add(ds.load_train())),
+        ("ivf-lean", lean),
     ]:
         _, a_ids = index.search(ds.load_test(), ds.hits)
         a_auc1s, _ = evaluate_rows(ds, a_ids)
@@ -64,10 +68,11 @@ def main() -> None:
     print("   index persistence round-trip (npz)")
     from knn_for_homology_tpu.search.io import read_index, write_index
 
-    write_index(index, workdir / "ivf-lean.npz")
+    _, lean_ids = lean.search(ds.load_test(), ds.hits)
+    write_index(lean, workdir / "ivf-lean.npz")
     reloaded = read_index(workdir / "ivf-lean.npz")
     _, r_ids = reloaded.search(ds.load_test(), ds.hits)
-    assert np.array_equal(np.asarray(r_ids), np.asarray(a_ids))
+    assert np.array_equal(np.asarray(r_ids), np.asarray(lean_ids))
     print("   reloaded ivf-lean matches in-memory ✓")
 
     print("5. hybrid: on-device Smith-Waterman rescoring of the kNN hits")

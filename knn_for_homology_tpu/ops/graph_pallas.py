@@ -83,6 +83,10 @@ def pack_neighbours(
     safe = jnp.clip(ids_p, 0, n - 1)
     vecs = q8[safe.reshape(-1)]  # [G*deg_p, d] int8 (one-time XLA gather)
     vecs = jnp.where((ids_p.reshape(-1) >= 0)[:, None], vecs, 0)
+    if d % LANE:
+        # Mosaic slab slices must be 128-lane aligned; zero int8 columns
+        # are dot-product-neutral (beam_expand pads queries to match)
+        vecs = jnp.pad(vecs, ((0, 0), (0, -d % LANE)))
     # per-neighbour dequant scales, padded with 1.0 (pad score lanes are
     # -inf; 0.0 would turn them into NaN in the kernel's multiply)
     sc = jnp.where(ids_p >= 0, scales[safe], 1.0)
@@ -260,6 +264,12 @@ def beam_expand(
 
     Lanes >= deg_p carry -inf / -1 padding; callers slice [:, :, :degree]."""
     q_n, e = sel_ids.shape
+    if queries.shape[1] != packed_vecs.shape[1]:
+        # slabs are lane-padded to a 128 multiple at pack time; zero query
+        # columns keep every dot product unchanged
+        queries = jnp.pad(
+            queries, ((0, 0), (0, packed_vecs.shape[1] - queries.shape[1]))
+        )
     d = queries.shape[1]
 
     if not interpret:
@@ -328,6 +338,10 @@ def beam_expand_reference(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Numpy oracle of beam_expand for tests."""
     q_n, e = sel_ids.shape
+    if queries.shape[1] != packed_vecs.shape[1]:  # pack-time lane padding
+        queries = np.pad(
+            queries, ((0, 0), (0, packed_vecs.shape[1] - queries.shape[1]))
+        )
     d = queries.shape[1]
     sims = np.full((q_n, e, LANE), -np.inf, np.float32)
     nbrs = np.full((q_n, e, LANE), -1, np.int32)

@@ -1,5 +1,13 @@
 from .mesh import make_mesh, DATA_AXIS, MODEL_AXIS, replicated, row_sharded
-from .scale import DCN_AXIS, ShardedFlatIndex, ShardedGraphIndex, ShardedIVFIndex, make_pod_mesh, stream_add
+from .scale import (
+    DCN_AXIS,
+    ShardedFlatIndex,
+    ShardedGraphIndex,
+    ShardedIVFIndex,
+    ShardedLSHIndex,
+    make_pod_mesh,
+    stream_add,
+)
 from .sharded import db_sharded_topk, query_sharded_topk, sharded_search
 
 __all__ = [
@@ -15,6 +23,7 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedGraphIndex",
     "ShardedIVFIndex",
+    "ShardedLSHIndex",
     "make_pod_mesh",
     "stream_add",
 ]

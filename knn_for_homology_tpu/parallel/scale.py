@@ -185,6 +185,136 @@ def stream_add(
     return index.finalize()
 
 
+class ShardedLSHIndex:
+    """LSH sharded over the mesh's data axis — closes the index-family
+    asymmetry (flat/graph/IVF all ride the pod mesh; LSH is the
+    cheapest-memory index, reference single-node usage:
+    pfam/proteins_search.py:26-27, 2048-bit IndexLSH on the full-protein
+    corpus). The ±1 sign sketches live as int8 shards in per-chip HBM
+    (nbits/8 bytes per row once bit-packed for spill; nbits bytes resident
+    for the MXU), queries sketch once against the replicated projection,
+    every chip runs the Hamming top-k over its shard as one int8 MXU
+    matmul (ops/lsh.py: H = (nbits − s_q·s_db)/2), and the per-shard
+    winner sets merge over ICI with one top-k.
+
+    Hamming distances are exact small integers and both the shard-local
+    streaming selection and the merge break ties by ascending global id,
+    so results are BIT-identical to the single-chip LSHIndex — asserted on
+    the 8-device mesh in tests/test_scale.py.
+    """
+
+    def __init__(self, mesh: Mesh, dim: int, nbits: int = 1024,
+                 seed: int = 1234):
+        from ..ops.lsh import projection_matrix
+
+        self.mesh = mesh
+        self.dim = dim
+        self.nbits = nbits
+        self.seed = seed
+        self.projection = projection_matrix(dim, nbits, seed)
+        self._chunks: List[np.ndarray] = []  # host int8 sign chunks
+        self._signs = None  # device [N_pad, nbits] int8, data-sharded
+        self._n = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def add(self, vectors: np.ndarray) -> "ShardedLSHIndex":
+        """Sketch a host chunk (one device matmul) and stream it in."""
+        import jax.numpy as jnp
+
+        from ..ops.lsh import compute_signs
+
+        signs = np.asarray(
+            compute_signs(
+                jnp.asarray(np.asarray(vectors, dtype=np.float32)),
+                jnp.asarray(self.projection),
+            )
+        )
+        self._chunks.append(signs)
+        self._n += signs.shape[0]
+        self._signs = None
+        return self
+
+    def finalize(self) -> "ShardedLSHIndex":
+        if not self._chunks:
+            raise ValueError("index is empty; call add() first")
+        signs = np.concatenate(self._chunks, axis=0)
+        n_shards = data_axis_size(self.mesh)
+        pad = (-signs.shape[0]) % n_shards
+        if pad:
+            # zero pad rows are masked by n_valid inside the shard-local
+            # selection (they could otherwise win: Hamming nbits/2 beats
+            # any sketch farther than half the bits)
+            signs = np.pad(signs, ((0, pad), (0, 0)))
+        flat = flatten_mesh(self.mesh)
+        self._signs = jax.device_put(
+            signs, NamedSharding(flat, P(DATA_AXIS, None))
+        )
+        return self
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(hamming [Q, k] float32 ascending, global ids [Q, k]) — the
+        single-chip LSHIndex's FAISS conventions, bit-identical."""
+        import jax.numpy as jnp
+        from jax import shard_map
+
+        from ..ops.lsh import _sign_ip, compute_signs
+        from ..ops.topk import streaming_topk
+
+        if self._signs is None:
+            self.finalize()
+        q_signs = compute_signs(
+            jnp.asarray(np.asarray(queries, dtype=np.float32)),
+            jnp.asarray(self.projection),
+        )
+        n = self._n
+        rows = self._signs.shape[0] // data_axis_size(self.mesh)
+        k_local = min(k, rows)
+
+        def local(signs_shard, q):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            row0 = shard_idx * rows
+            n_local = jnp.clip(n - row0, 0, rows)
+            vals, ids = streaming_topk(
+                signs_shard, q, k_local, metric="ip",
+                db_tile=min(8192, rows), n_valid=n_local, sim_fn=_sign_ip,
+            )
+            gids = jnp.where(ids >= 0, ids + row0, -1)
+            valid = (gids >= 0) & (gids < n)
+            vals = jnp.where(valid, vals, -jnp.inf)
+            gids = jnp.where(valid, gids, -1)
+            all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=0)
+            all_ids = jax.lax.all_gather(gids, DATA_AXIS, axis=0)
+            cand_vals = jnp.swapaxes(all_vals, 0, 1).reshape(q.shape[0], -1)
+            cand_ids = jnp.swapaxes(all_ids, 0, 1).reshape(q.shape[0], -1)
+            m_vals, sel = jax.lax.top_k(
+                cand_vals, min(k, cand_vals.shape[1])
+            )
+            return m_vals, jnp.take_along_axis(cand_ids, sel, axis=1)
+
+        flat_mesh = flatten_mesh(self.mesh)
+        vals, ids = shard_map(
+            local,
+            mesh=flat_mesh,
+            in_specs=(P(DATA_AXIS, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(self._signs, q_signs)
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        hamming = np.where(ids >= 0, (self.nbits - vals) * 0.5, np.inf)
+        if hamming.shape[1] < k:  # k exceeded the database: FAISS padding
+            pad = k - hamming.shape[1]
+            hamming = np.pad(
+                hamming, ((0, 0), (0, pad)), constant_values=np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return hamming.astype(np.float32), ids
+
+
 class ShardedGraphIndex:
     """Graph ANN sharded over the mesh: one neighbour graph per shard
     (embarrassingly parallel builds), queries fan out replicated, every chip
@@ -580,8 +710,9 @@ class ShardedIVFIndex:
                 rows_f = db_s[0][safe]
             else:
                 srows = slot_s[0][safe]
+                # slabs are lane-padded at pack time; slice back to d
                 rows_f = (
-                    pv[srows].astype(jnp.float32)
+                    pv[srows][..., : q_rep.shape[1]].astype(jnp.float32)
                     * sc.reshape(-1)[srows][..., None]
                 )
             ex = jnp.einsum(

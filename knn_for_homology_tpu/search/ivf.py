@@ -82,8 +82,13 @@ def _route_prefs_blocked(db, centroids, metric, p, block):
 def _route_prefs(db, centroids, metric, p):
     c = centroids.shape[0]
     n = db.shape[0]
-    # [block, C] f32 transient <= ~256 MB
-    block = int(min(max(n, 1), max(256, (1 << 26) // max(c, 1))))
+    # [block, C] f32 transient <= ~256 MB ...
+    block = max(256, (1 << 26) // max(c, 1))
+    # ... but also cap the lax.map trip count at 256: compile latency on
+    # this stack scales steeply with scan length (CLAUDE.md), so huge
+    # builds trade a larger transient (up to ~1 GB at n=2^22/c=16k) for a
+    # bounded scan (ADVICE r3)
+    block = int(min(max(n, 1), max(block, -(-n // 256))))
     return _route_prefs_blocked(db, centroids, metric, p, block)
 
 
@@ -351,7 +356,11 @@ def _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric: str):
     small-k ordering survives without keeping any fp32 rows."""
     safe = jnp.clip(ids, 0, slot.shape[0] - 1)
     srows = slot[safe]  # [q, k] packed slot index
-    rows = pv[srows].astype(jnp.float32) * sc.reshape(-1)[srows][..., None]
+    # slabs are lane-padded to a 128 multiple at pack time; slice back
+    rows = (
+        pv[srows][..., : q.shape[1]].astype(jnp.float32)
+        * sc.reshape(-1)[srows][..., None]
+    )
     s = jnp.einsum(
         "qkd,qd->qk", rows, q, preferred_element_type=jnp.float32
     )
@@ -399,6 +408,12 @@ def _union_scan_one(
         jnp.arange(c, dtype=jnp.int32)
     )
     q32 = q.astype(jnp.float32)
+    if pv.shape[1] != q32.shape[1]:
+        # slabs are lane-padded to a 128 multiple at pack time; zero query
+        # columns keep every dot product unchanged
+        q32 = jnp.pad(
+            q32, ((0, 0), (0, pv.shape[1] - q32.shape[1]))
+        )
     zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
     # int8 scan pays off when the gathered union is LARGE (stream-bound
     # scan: half the bytes + the int8 MXU path → measured 17.8→22.4k

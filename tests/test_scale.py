@@ -133,6 +133,33 @@ def test_shard_sweep_one_chip(tmp_path):
     assert ids.max() < shards * rows and ids.min() >= 0
 
 
+def test_sharded_lsh_bit_identical_to_single_chip(pod_mesh):
+    """ShardedLSHIndex must be BIT-identical to the single-chip LSHIndex:
+    Hamming distances are exact integers and both paths break ties by
+    ascending global id (VERDICT r3 next-round #7)."""
+    from knn_for_homology_tpu.parallel import ShardedLSHIndex
+    from knn_for_homology_tpu.search.lsh import LSHIndex
+
+    rng = np.random.RandomState(17)
+    db = rng.randn(333, 32).astype(np.float32)
+    q = rng.randn(23, 32).astype(np.float32)
+    single = LSHIndex(dim=32, nbits=128).add(db)
+    want_dist, want_ids = single.search(q, 9)
+
+    index = ShardedLSHIndex(pod_mesh, dim=32, nbits=128)
+    # streaming add in uneven chunks, same contract as ShardedFlatIndex
+    index.add(db[:100]).add(db[100:250]).add(db[250:]).finalize()
+    dist, ids = index.search(q, 9)
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_array_equal(dist, want_dist)
+
+    # k > ntotal: FAISS-style inf/-1 padding, like the single-chip index
+    dist_big, ids_big = index.search(q[:3], 340)
+    want_big_d, want_big_i = single.search(q[:3], 340)
+    np.testing.assert_array_equal(ids_big, want_big_i)
+    np.testing.assert_array_equal(dist_big, want_big_d)
+
+
 def test_sharded_flat_index_sq8_storage():
     # int8 shard scans: self-hits win, recall vs the native path in band
     import jax
