@@ -135,7 +135,7 @@ def _segment_topr_kernel(
 
     @pl.when(j == 0)
     def _init():
-        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        vals_ref[:] = jnp.full_like(vals_ref, INT32_MIN)
         ids_ref[:] = jnp.full_like(ids_ref, -1)
 
     q = q_ref[:]
@@ -143,19 +143,25 @@ def _segment_topr_kernel(
     sims, valid = _tile_sims(
         q, db, j, nv_ref, metric=metric, n_db=n_db, precision=precision
     )
-    sims = jnp.where(valid, sims, NEG_INF)
     tile = db.shape[0]
     qb = q.shape[0]
 
     # Insert this tile's one candidate per lane into the lane's sorted
-    # R-slot list (desc). Strict > keeps the earlier (lower-pass) element on
-    # ties, matching lax.top_k order; each lane sees exactly one candidate
-    # per tile, so there is no intra-tile conflict. The stored id is the
-    # PASS index j (int8 when the pass count allows): the lane is implicit
-    # in the buffer column, so the global id j*tile+lane is reconstructed in
-    # the epilogue — 5 state bytes per slot instead of 8, which buys a
-    # larger query block (fewer database re-streams from HBM).
-    cand_v = sims
+    # R-slot list (desc). The stored VALUE is the similarity's monotone
+    # ordered-int32 image (_ordered_int — a bijection, so compares are
+    # bit-equivalent to f32 compares and the epilogue decodes the exact
+    # f32 back; masked lanes take INT32_MIN, below every real value's
+    # image). Strict > keeps the earlier (lower-pass) element on ties,
+    # matching lax.top_k order; each lane sees exactly one candidate per
+    # tile, so there is no intra-tile conflict. The stored id is the PASS
+    # index j (int8 / int16 when the pass count allows): the lane is
+    # implicit in the buffer column, so the global id j*tile+lane is
+    # reconstructed in the epilogue. 5-6 state bytes per slot instead of
+    # 8 buys a larger query block — fewer database re-streams from HBM,
+    # the engine's throughput wall (exact mode ran at 116k q/s vs the
+    # approx kernel's 395k purely on state-capped query blocks).
+    oi = _ordered_int(jax.lax.bitcast_convert_type(sims, jnp.int32))
+    cand_v = jnp.where(valid, oi, INT32_MIN)
     cand_i = jnp.zeros((qb, tile), ids_ref.dtype) + j.astype(ids_ref.dtype)
     for r in range(r_slots):
         sl = slice(r * tile, (r + 1) * tile)
@@ -311,9 +317,14 @@ def _candidates_and_topk(
     n_tiles = db_p.shape[0] // db_tile
     grid = (q_p.shape[0] // query_block, n_tiles)
     width = r_slots * db_tile
-    # stored ids are PASS indices: int8 whenever the pass count fits (5
-    # state bytes/slot instead of 8 — the VMEM saved goes to query_block)
-    idt = jnp.int8 if n_tiles <= 127 else jnp.int32
+    # stored ids are PASS indices: the narrowest int that fits the pass
+    # count (5-6 state bytes/slot instead of 8 — the VMEM saved goes to
+    # query_block)
+    idt = (
+        jnp.int8 if n_tiles <= 127
+        else jnp.int16 if n_tiles <= 32767
+        else jnp.int32
+    )
 
     nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
     precision = (
@@ -347,7 +358,7 @@ def _candidates_and_topk(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.float32),
+            jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
             jax.ShapeDtypeStruct((q_p.shape[0], width), idt),
         ],
         cost_estimate=pl.CostEstimate(
@@ -371,18 +382,29 @@ def _candidates_and_topk(
     gids = jnp.where(
         buf_i >= 0, buf_i.astype(jnp.int32) * db_tile + lanes, -1
     )
-    # Order candidates exactly like lax.top_k: value desc, id asc on ties.
-    neg_v, ids_sorted = jax.lax.sort((-buf_v, gids), num_keys=2)
-    vals = -neg_v[:, :k]
+    # Order candidates exactly like lax.top_k: value desc, id asc on ties
+    # (ordered-int compares == f32 compares; ~x reverses without the
+    # overflow -INT32_MIN would hit, and sends empty INT32_MIN slots last).
+    not_v, ids_sorted = jax.lax.sort((jnp.bitwise_not(buf_v), gids), num_keys=2)
+    kept_oi = jnp.bitwise_not(not_v[:, :k])
     ids = ids_sorted[:, :k]
+    vals = jnp.where(
+        ids >= 0,
+        jax.lax.bitcast_convert_type(_ordered_int(kept_oi), jnp.float32),
+        NEG_INF,
+    )
 
     # Certificate: a row can only be wrong if some segment discarded an
     # element >= the row's k-th value; discards are <= the segment's R-th
     # kept value (last slot of the buffer layout). theta == -inf means the
-    # row has < k real candidates — nothing can be missing.
+    # row has < k real candidates — nothing can be missing. Ordered-int
+    # compares stand in exactly for the f32 ones.
     theta = vals[:, k - 1]
     min_kept = buf_v[:, (r_slots - 1) * db_tile :]
-    suspect = jnp.any(min_kept >= theta[:, None], axis=1) & jnp.isfinite(theta)
+    suspect = (
+        jnp.any(min_kept >= kept_oi[:, k - 1][:, None], axis=1)
+        & jnp.isfinite(theta)
+    )
     return vals, ids, suspect
 
 
@@ -392,12 +414,12 @@ VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _state_bytes_per_slot(n: int, db_tile: int, exact: bool) -> int:
-    """Exact: f32 value + pass-index id (int8 when the pass count fits).
+    """Exact: ordered-int32 value + narrowest pass-index id that fits.
     Approx: one packed int32."""
     if not exact:
         return 4
     n_tiles = _round_up(n, db_tile) // db_tile
-    return 4 + (1 if n_tiles <= 127 else 4)
+    return 4 + (1 if n_tiles <= 127 else 2 if n_tiles <= 32767 else 4)
 
 
 def _plan(
@@ -427,20 +449,19 @@ def _plan(
     # (double-buffered) + q block + the sims tile (plus packing temps in
     # approx mode). The state is the dominant term: every byte shaved off
     # a slot goes directly into a bigger query block = fewer database
-    # re-streams from HBM (the engine's bandwidth wall).
+    # re-streams from HBM (the engine's bandwidth wall). The cap lands on
+    # the largest multiple of 8 (the f32 sublane) that fits — the old
+    # halve-until-fits rule threw away up to half the budget right at the
+    # boundary (320→160 when 304 fit).
     sb = _state_bytes_per_slot(n, db_tile, exact)
     tmp = 1 if exact else 3  # approx: sims f32 + ordered-int + cand temps
-    while (
-        query_block > 8
-        and (
-            2 * r_slots * query_block * db_tile * sb
-            + 2 * db_tile * d * itemsize
-            + query_block * d * itemsize
-            + tmp * query_block * db_tile * 4
-        )
-        > VMEM_BUDGET
-    ):
-        query_block //= 2
+    fixed = 2 * db_tile * d * itemsize
+    per_row = (
+        2 * r_slots * db_tile * sb + d * itemsize + tmp * db_tile * 4
+    )
+    cap = max((VMEM_BUDGET - fixed) // per_row, 8)
+    if cap < query_block:
+        query_block = max(cap // 8 * 8, 8)
     # The [QB, r*T] candidate buffer is the only O(Q) HBM cost — block the
     # queries so it stays bounded regardless of Q.
     max_block = max(

@@ -526,6 +526,16 @@ class IVFIndex:
     # blocks at least this big take the union-scan path (below it the
     # union is sparse and the per-probe DMA kernel wins)
     UNION_MIN_Q = 512
+    # budget/nprobe ratio above which the per-probe DMA path beats the
+    # union scan even for BIG batches: the union scan's compute per query
+    # is budget·128·d bf16 MACs (MXU, ~197 TF/s) while the DMA path's
+    # cost per query is nprobe·128·d gathered bytes (~819 GB/s HBM), so
+    # DMA wins when nprobe·128·d/819e9 < 2·budget·128·d/197e12, i.e.
+    # budget ≳ 120·nprobe. Measured at n=2^20/d=1024/nprobe=16 with
+    # block unions ≈ half the cell table: DMA 58.6k q/s vs union 24.2k.
+    # Low-locality query sets (block unions near the whole table) cross
+    # it; family-sorted production streams stay on the union scan.
+    DMA_OVER_UNION_RATIO = 96
 
     def __init__(
         self,
@@ -697,6 +707,19 @@ class IVFIndex:
                     min(1 << max(int(u) - 1, 0).bit_length(), c)
                     for u in u_vec
                 ]
+            # low-locality escape hatch: when the measured block unions
+            # are huge relative to nprobe, every query would pay MXU
+            # compute over a union it barely probes — the per-probe DMA
+            # loop below is cheaper (see DMA_OVER_UNION_RATIO). Explicit
+            # union_budget callers (traced/sharded) stay on the union
+            # scan: their budget choice already encodes the trade.
+            if union_budget is None and float(
+                np.median(budgets)
+            ) >= self.DMA_OVER_UNION_RATIO * nprobe:
+                budgets = None
+        else:
+            budgets = None
+        if budgets is not None:
             # group blocks by gather budget: ONE device dispatch per
             # distinct power-of-two budget (lax.scan over the stacked
             # blocks) instead of ~10 dispatches per block — the per-call
@@ -849,7 +872,12 @@ class IVFIndex:
         n = self.ntotal
         c = self._centroids.shape[0]
         k_eff = min(k, n)
-        nprobe = min(max(self.nprobe, -(-2 * k_eff // CAPACITY)), c)
+        # candidate-pool floor: cells hold avg n/c rows (64 at the auto
+        # half-full sizing), NOT the capacity — flooring by CAPACITY
+        # undersized the k=1000 pool 2× (nprobe·128 slots but only
+        # nprobe·64 real candidates)
+        avg_fill = max(1, n // max(c, 1))
+        nprobe = min(max(self.nprobe, -(-2 * k_eff // avg_fill)), c)
         # lean mode (store_fp32=False) rescores from the dequantised
         # slabs instead of the (dropped) fp32 rows
         rescore = False

@@ -29,7 +29,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def make_clustered(key, n, d, clusters, noise=0.15):
+def make_clustered(key, n, d, clusters, noise=0.5):
+    """Clustered unit vectors: `noise` is the expected noise NORM relative
+    to the unit-norm center (dimension-normalized: the per-coordinate std
+    is noise/sqrt(d)), so within-cluster cosine ≈ 1/(1+noise²) ≈ 0.8 at
+    the 0.5 default — the tight-family regime protein embeddings live in.
+
+    The r3 version scaled noise per COORDINATE (norm 0.15·√d ≈ 4.8 at
+    d=1024 — 5× the center): the "clusters" were noise-dominated, true
+    top-k neighbours were random noise peaks spread uniformly over all
+    cells, and NO routed index could recall them without scanning most of
+    the database (measured: per-query probe coverage@10 was 0.21 while
+    every row sat in its nearest cell — scripts/debug_ivf_spill.py). The
+    r3 IVF numbers measured on that generator say nothing about routed
+    search; r4 re-measured everything on this one."""
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +51,9 @@ def make_clustered(key, n, d, clusters, noise=0.15):
     kc, kn, ka = jax.random.split(key, 3)
     centers = l2_normalize(jax.random.normal(kc, (clusters, d), jnp.float32))
     assign = jax.random.randint(ka, (n,), 0, clusters)
-    x = centers[assign] + noise * jax.random.normal(kn, (n, d), jnp.float32)
+    x = centers[assign] + (noise / np.sqrt(d)) * jax.random.normal(
+        kn, (n, d), jnp.float32
+    )
     db = l2_normalize(x)
     jax.block_until_ready(db)
     return db

@@ -45,11 +45,17 @@ def main():
     p.add_argument("--clusters", type=int, default=8192)
     p.add_argument("--queries", type=int, default=65536)
     p.add_argument("--recall-sample", type=int, default=4096)
-    p.add_argument("--k", type=int, default=10)
-    p.add_argument("--nprobe", type=int, nargs="+", default=[8, 16])
+    p.add_argument("--ks", type=int, nargs="+", default=[10, 1000])
+    p.add_argument(
+        "--nprobe", type=int, nargs="+", default=[4, 8, 16, 32, 64, 128],
+        help="frontier sweep; per-k the engine floors nprobe at 2k/128",
+    )
     p.add_argument("--kmeans-iters", type=int, default=16)
     p.add_argument("--qb", type=int, default=0, help="IVF query block override")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--skip-flat", action="store_true")
+    p.add_argument("--skip-union", action="store_true")
+    p.add_argument("--skip-dma", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -62,22 +68,24 @@ def main():
 
     db = make_clustered(jax.random.PRNGKey(0), args.n, args.d, args.clusters)
     queries = db[: args.queries]
+    k_max = max(args.ks)
 
     # exact reference on a subsample (the exact engine is O(n) per query;
-    # 4096 queries keep the baseline pass short)
+    # 4096 queries keep the baseline pass short). ONE k=k_max pass serves
+    # every k: exact ids are sorted, so exact top-k = its first k columns.
     sample = np.linspace(0, args.queries - 1, args.recall_sample).astype(int)
     q_sample = queries[jnp.asarray(sample)]
-    _, exact_ids = exact_pallas_topk(db, q_sample, args.k, metric="ip")
+    _, exact_ids = exact_pallas_topk(db, q_sample, k_max, metric="ip")
     exact_ids = np.asarray(jax.block_until_ready(exact_ids))
 
-    def recall_of(ids_full):
+    def recall_of(ids_full, k):
         ids = np.asarray(ids_full)[sample]
         return float(np.mean([
-            len(set(a.tolist()) & set(b[b >= 0].tolist())) / args.k
+            len(set(a[:k].tolist()) & set(b[b >= 0][:k].tolist())) / k
             for a, b in zip(exact_ids, ids)
         ]))
 
-    def timed(fn, tag, extra=None):
+    def timed(fn, tag, k, extra=None):
         ids = jax.block_until_ready(fn())  # compile + warm
         secs = float("inf")
         for _ in range(args.reps):  # best-of: relay noise only ADDS time
@@ -89,25 +97,29 @@ def main():
         print(json.dumps({
             "case": tag,
             "n": args.n,
-            "k": args.k,
+            "k": k,
             "qps": round(args.queries / secs, 1),
-            "recall": round(recall_of(ids), 4),
+            "recall": round(recall_of(ids, k), 4),
             **(extra or {}),
         }), flush=True)
 
     # ---- flat packed sq8-sym, prequantised (the production point) ----
     sq8 = quantize_database(db)
 
-    def flat_run():
-        return packed_pallas_topk(sq8, queries, args.k, metric="ip")[1]
+    if not args.skip_flat:
+        for k in args.ks:
+            timed(
+                lambda k=k: packed_pallas_topk(sq8, queries, k, metric="ip")[1],
+                "flat-sq8-sym", k,
+            )
 
-    timed(flat_run, "flat-sq8-sym")
-
-    # ---- IVF grouped union-scan ----
+    # ---- IVF grouped union-scan (lean layout: int8 slabs only — the
+    # production memory point, and it frees 4 GB of HBM for the scan) ----
+    del sq8  # free the flat engine's int8 copy before the build transient
     t0 = time.time()
     index = IVFIndex(
         metric="cosine", nprobe=args.nprobe[0],
-        kmeans_iters=args.kmeans_iters,
+        kmeans_iters=args.kmeans_iters, store_fp32=False,
     ).add(db)
     build_s = time.time() - t0
     print(json.dumps({
@@ -129,16 +141,44 @@ def main():
     q_sorted = queries[jnp.asarray(order)]
     inv_j = jnp.asarray(inv)
 
-    for nprobe in args.nprobe:
-        index.nprobe = nprobe
+    for k in (() if args.skip_union else args.ks):
+        for nprobe in args.nprobe:
+            index.nprobe = nprobe
+            eff_nprobe = index.plan_blocks(k)[1]
+            if eff_nprobe > nprobe and nprobe != args.nprobe[0]:
+                continue  # floored to the same point already measured
 
-        def ivf_run():
-            return index.search_device(q_sorted, args.k)[1][inv_j]
+            def ivf_run(k=k):
+                return index.search_device(q_sorted, k)[1][inv_j]
 
-        # plan_blocks returns the EFFECTIVE query block (the rescore
-        # transient cap can halve QUERY_BLOCK) — report what actually ran
-        timed(ivf_run, "ivf-union", {"nprobe": nprobe,
-                                     "qb": index.plan_blocks(args.k)[4]})
+            # plan_blocks returns the EFFECTIVE query block (the rescore
+            # transient cap can halve QUERY_BLOCK) — report what ran
+            timed(ivf_run, "ivf-union", k, {
+                "nprobe": eff_nprobe, "qb": index.plan_blocks(k)[4],
+            })
+
+    # ---- IVF per-query DMA path (beam_expand slabs) ----
+    # The union scan makes every query pay MXU compute over the BLOCK's
+    # whole cell union — on query sets with little probe sharing (this
+    # generator's clusters are unrelated) that union covers 25-50% of the
+    # database. The DMA path streams only each query's own nprobe slabs
+    # (nprobe*128 rows ≈ 0.2-1.6% of the db) and scores the dequantised
+    # int8 rows in f32 — one-sided storage noise only, so its recall
+    # ceiling also sits ABOVE the double-int8 union scan's.
+    index.UNION_MIN_Q = 1 << 30  # force the per-probe DMA path
+    for k in (() if args.skip_dma else args.ks):
+        for nprobe in args.nprobe:
+            index.nprobe = nprobe
+            eff_nprobe = index.plan_blocks(k)[1]
+            if eff_nprobe > nprobe and nprobe != args.nprobe[0]:
+                continue
+
+            def dma_run(k=k):
+                return index.search_device(q_sorted, k)[1][inv_j]
+
+            timed(dma_run, "ivf-dma", k, {
+                "nprobe": eff_nprobe, "qb": index.plan_blocks(k)[4],
+            })
 
 
 if __name__ == "__main__":

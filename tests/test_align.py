@@ -112,3 +112,55 @@ def test_nested_scan_chunk_identical_scores():
                 sw_scores(q, t, convention=convention, scan_chunk=chunk)
             )
             np.testing.assert_array_equal(base, nested)
+
+
+def test_grouped_kernel_bit_identical_to_pair_kernel():
+    """sw_scores_grouped (profile-slice substitution) must produce
+    BIT-identical scores to sw_scores (one-hot contraction substitution)
+    — they share _dp_row, the sub values are the same exact small
+    integers (bf16 profile planes hold BLOSUM entries exactly), and the
+    DP is f32 on both paths."""
+    from knn_for_homology_tpu.ops.align import sw_scores_grouped
+
+    rng = np.random.RandomState(7)
+    aas = "ACDEFGHIKLMNPQRSTVWYX"
+    g_n, k_n = 3, 5
+    qs = ["".join(rng.choice(list(aas), rng.randint(10, 60)))
+          for _ in range(g_n)]
+    ts = [["".join(rng.choice(list(aas), rng.randint(10, 90)))
+           for _ in range(k_n)] for _ in range(g_n)]
+    lq, lt = 64, 96
+    q_codes = np.stack([encode_sequence(q, lq) for q in qs])
+    t_codes = np.stack(
+        [np.stack([encode_sequence(t, lt) for t in row]) for row in ts]
+    )
+    for convention in ("blast", "mmseqs"):
+        got = np.asarray(
+            sw_scores_grouped(q_codes, t_codes, convention=convention)
+        )
+        flat_q = np.repeat(q_codes, k_n, axis=0)
+        flat_t = t_codes.reshape(-1, lt)
+        want = np.asarray(
+            sw_scores(flat_q, flat_t, convention=convention)
+        ).reshape(g_n, k_n)
+        np.testing.assert_array_equal(got, want)
+        # nested row scan: identical carry flow, bit-identical scores
+        nested = np.asarray(sw_scores_grouped(
+            q_codes, t_codes, convention=convention, scan_chunk=32
+        ))
+        np.testing.assert_array_equal(nested, want)
+
+
+def test_grouped_kernel_matches_sequential_oracle():
+    from knn_for_homology_tpu.ops.align import sw_scores_grouped
+
+    qs = [p[0] for p in PAIRS[:3]]
+    ts = [p[1] for p in PAIRS[:3]]
+    lq = max(len(q) for q in qs)
+    lt = max(len(t) for t in ts)
+    # one group per pair, K=1
+    q_codes = np.stack([encode_sequence(q, lq) for q in qs])
+    t_codes = np.stack([encode_sequence(t, lt)[None] for t in ts])
+    got = np.asarray(sw_scores_grouped(q_codes, t_codes))[:, 0]
+    want = np.asarray([sw_oracle(q, t) for q, t in zip(qs, ts)])
+    np.testing.assert_allclose(got, want)
