@@ -92,11 +92,22 @@ KA_K = 0.041
 NEG = np.float32(-1e9)
 
 
+# byte → score-matrix index lookup (unknown bytes → X), for vectorized
+# encoding: the per-char Python loop was ~30 s per 10^7-pair rescoring
+# pass just to encode
+_BYTE_LUT = np.full(256, AA_INDEX["X"], dtype=np.int8)
+for _aa, _ix in AA_INDEX.items():
+    _BYTE_LUT[ord(_aa)] = _ix
+    _BYTE_LUT[ord(_aa.lower())] = _ix
+
+
 def encode_sequence(sequence: str, length: int) -> np.ndarray:
     """Residue → score-matrix index, right-padded with -1."""
     out = np.full((length,), -1, dtype=np.int32)
-    for i, aa in enumerate(sequence[:length].upper()):
-        out[i] = AA_INDEX.get(aa, AA_INDEX["X"])
+    raw = np.frombuffer(
+        sequence[:length].encode("latin-1", "replace"), dtype=np.uint8
+    )
+    out[: raw.shape[0]] = _BYTE_LUT[raw]
     return out
 
 
@@ -246,7 +257,8 @@ def sw_scores_grouped(
         def row_step(c, qi):
             h_prev, f_prev, best = c
             plane = jax.lax.dynamic_slice_in_dim(
-                profile, jnp.clip(qi, 0, n_aa - 1), 1, axis=0
+                profile, jnp.clip(qi.astype(jnp.int32), 0, n_aa - 1), 1,
+                axis=0,
             )[0].astype(jnp.float32)  # [Lt, K]
             sub = jnp.where(t_pad | (qi < 0), NEG, plane)
             return _dp_row(h_prev, f_prev, best, sub, gap_first, j_idx), None
@@ -281,6 +293,92 @@ def e_values(
     """Karlin-Altschul E = K·m·n·exp(-λS)."""
     m = jnp.maximum(query_lengths.astype(jnp.float32), 1.0)
     return KA_K * m * db_residues * jnp.exp(-KA_LAMBDA * scores)
+
+
+def align_hits(
+    queries: list,
+    hits: list,  # hits[i] = list of target strings for queries[i]
+    db_residues: float = None,
+    k_lanes: int = 128,
+    g_block: int = 32,
+    bucket: int = 128,
+    convention: str = "mmseqs",
+    unroll: int = 1,
+    scan_chunk: int = 128,
+) -> Tuple[list, list]:
+    """Align each query against its own hit list (the kNN-rescoring shape,
+    reference: pfam/proteins.py:140-141's `mmseqs align` step) through the
+    query-grouped kernel. Returns (scores, e_values): lists of [len(hits
+    [i])] float32 arrays aligned with the hit order.
+
+    Packing: each query's hits are sorted by length and chunked into rows
+    of `k_lanes` targets (the VPU lane width), so a row's targets are
+    near-homogeneous in length; rows land in (Lq, Lt) shape cells on a
+    `bucket`-multiple grid — Lt by the ROW's longest target, not the
+    call-wide maximum that align_pairs pads to (34× wasted DP cells on a
+    full-protein length mix). Cells dispatch in `g_block`-row chunks
+    (static shapes; trailing rows padded with -1 queries, which score 0
+    and are dropped). Length-sorting is undone through (query, position)
+    scatter indices.
+    """
+    assert len(queries) == len(hits)
+    from ..utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+    if db_residues is None:
+        db_residues = float(
+            sum(len(t) for row in hits for t in row)
+        )
+
+    def pad_len(x):
+        return max(bucket, ((x + bucket - 1) // bucket) * bucket)
+
+    # rows: (query index, [hit positions]) per k_lanes chunk, cellled by
+    # the (Lq, Lt) bucket grid
+    cells: dict = {}
+    for qi, row in enumerate(hits):
+        if not row:
+            continue
+        lq_b = pad_len(len(queries[qi]))
+        order = sorted(range(len(row)), key=lambda p: len(row[p]))
+        for start in range(0, len(order), k_lanes):
+            chunk = order[start : start + k_lanes]
+            lt_b = pad_len(max(len(row[p]) for p in chunk))
+            cells.setdefault((lq_b, lt_b), []).append((qi, chunk))
+
+    scores = [
+        np.zeros(len(row), dtype=np.float32) for row in hits
+    ]
+    for (lq_b, lt_b), rows in sorted(cells.items()):
+        for start in range(0, len(rows), g_block):
+            block = rows[start : start + g_block]
+            g = len(block)
+            q_codes = np.full((g_block, lq_b), -1, dtype=np.int32)
+            t_codes = np.full(
+                (g_block, k_lanes, lt_b), -1, dtype=np.int32
+            )
+            for r, (qi, chunk) in enumerate(block):
+                q_codes[r] = encode_sequence(queries[qi], lq_b)
+                for l, p in enumerate(chunk):
+                    t_codes[r, l] = encode_sequence(hits[qi][p], lt_b)
+            out = np.asarray(sw_scores_grouped(
+                jnp.asarray(q_codes), jnp.asarray(t_codes),
+                convention=convention, unroll=unroll,
+                scan_chunk=scan_chunk,
+            ))
+            for r, (qi, chunk) in enumerate(block[:g]):
+                scores[qi][chunk] = out[r, : len(chunk)]
+    evs = []
+    for qi, row in enumerate(hits):
+        if len(row) == 0:
+            evs.append(np.zeros(0, np.float32))
+            continue
+        evs.append(np.asarray(e_values(
+            jnp.asarray(scores[qi]),
+            jnp.full(len(row), len(queries[qi]), jnp.float32),
+            db_residues,
+        )))
+    return scores, evs
 
 
 def align_pairs(

@@ -545,6 +545,8 @@ class IVFIndex:
         kmeans_iters: int = 8,
         prefs: int = 4,  # ranked cluster choices for capacity balancing
         store_fp32: bool = True,
+        rescore_max_k: Optional[int] = None,
+        shortlist_mult: float = 4.0,
         config: Optional[SearchConfig] = None,
     ):
         self.metric = metric
@@ -552,6 +554,15 @@ class IVFIndex:
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
         self.prefs = prefs
+        # rescore_max_k lifts the fp32-rescore cutoff above the class
+        # default (RESCORE_MAX_K): at k=1000 the rescore gather is
+        # ~shortlist·4 KB per query, so it costs real bandwidth — but on
+        # tie-dense corpora it is what closes recall@1000 from the int8
+        # scan's ~0.95 ceiling to ≥0.99 (the FAISS-HNSW efSearch=256
+        # class). shortlist_mult sizes the rescore pool (default 4×k,
+        # capped by the candidate pool).
+        self.rescore_max_k = rescore_max_k
+        self.shortlist_mult = shortlist_mult
         # store_fp32=False is the memory-lean mode: the fp32 rows are
         # dropped right after build, so the device footprint is ONLY the
         # int8 cluster slabs + scales/ids + centroids (~n*(d+12) bytes —
@@ -881,10 +892,18 @@ class IVFIndex:
         # lean mode (store_fp32=False) rescores from the dequantised
         # slabs instead of the (dropped) fp32 rows
         rescore = False
-        if k_eff <= self.RESCORE_MAX_K:
+        max_rescore_k = (
+            self.rescore_max_k
+            if self.rescore_max_k is not None
+            else self.RESCORE_MAX_K
+        )
+        if k_eff <= max_rescore_k:
             rescore = "db" if self._db is not None else "slab"
         shortlist = (
-            min(max(4 * k_eff, CAPACITY), nprobe * CAPACITY)
+            min(
+                max(int(self.shortlist_mult * k_eff), CAPACITY),
+                nprobe * CAPACITY,
+            )
             if rescore
             else k_eff
         )

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import E_VALUE_CUTOFF
 from ..data.dataset import Dataset
 from ..data.fasta import read_fasta
-from ..ops.align import align_pairs
+from ..ops.align import align_hits
 
 
 def align_evalues_row_aligned(
@@ -28,27 +28,28 @@ def align_evalues_row_aligned(
     """[Q, k] alignment E-values aligned with hit_rows' column order
     (missing hits get +inf) — the input `pipelines.pfam_proteins.run`
     expects for its merged ranking (align_rescore's dict output is E-sorted
-    and cutoff-filtered, NOT row-aligned)."""
+    and cutoff-filtered, NOT row-aligned).
+
+    Runs the query-grouped kernel (align_hits): same scores pair-for-pair
+    as align_pairs, but the substitution work is a profile slice instead
+    of the pair kernel's MXU contraction and rows pad to their own length
+    bucket instead of the call-wide maximum."""
+    del pair_batch  # grouped path sizes by (k_lanes, g_block) internally
     train_seqs = read_fasta(dataset.train_sequences)
     test_seqs = read_fasta(dataset.test_sequences)
     db_residues = float(sum(len(s) for s in train_seqs.values()))
     hit_rows = np.asarray(hit_rows)
     q_n, k = hit_rows.shape
-    pair_q, pair_t, positions = [], [], []
-    for qi, row in enumerate(hit_rows):
-        q_seq = test_seqs[dataset.test_ids[qi]]
-        for col, hit in enumerate(row):
-            if hit < 0:
-                continue
-            pair_q.append(q_seq)
-            pair_t.append(train_seqs[dataset.train_ids[hit]])
-            positions.append((qi, col))
-    _, evs = align_pairs(
-        pair_q, pair_t, db_residues=db_residues, pair_batch=pair_batch
-    )
+    queries = [test_seqs[dataset.test_ids[qi]] for qi in range(q_n)]
+    hits = [
+        [train_seqs[dataset.train_ids[h]] for h in row if h >= 0]
+        for row in hit_rows
+    ]
+    _, evs = align_hits(queries, hits, db_residues=db_residues)
     out = np.full((q_n, k), np.inf, dtype=np.float64)
-    for (qi, col), ev in zip(positions, evs):
-        out[qi, col] = ev
+    for qi, row in enumerate(hit_rows):
+        cols = [c for c, h in enumerate(row) if h >= 0]
+        out[qi, cols] = evs[qi]
     return out
 
 
@@ -67,46 +68,37 @@ def align_rescore(
     (reference: mmseqs/_read_results_db.py:59-129); hits above the E-value
     cutoff are dropped like `mmseqs align -e` does.
     """
+    del pair_batch  # grouped path sizes by (k_lanes, g_block) internally
     start = time.time()
     train_seqs = read_fasta(dataset.train_sequences)
     test_seqs = read_fasta(dataset.test_sequences)
     db_residues = float(sum(len(s) for s in train_seqs.values()))
 
-    pair_q: List[str] = []
-    pair_t: List[str] = []
-    pair_query_idx: List[int] = []
-    pair_hit_row: List[int] = []
-    for qi, row in enumerate(np.asarray(hit_rows)):
-        q_seq = test_seqs[dataset.test_ids[qi]]
-        for hit in row:
-            if hit < 0:
-                continue
-            pair_q.append(q_seq)
-            pair_t.append(train_seqs[dataset.train_ids[hit]])
-            pair_query_idx.append(qi)
-            pair_hit_row.append(int(hit))
-
-    scores, evs = align_pairs(
-        pair_q, pair_t, db_residues=db_residues, pair_batch=pair_batch
+    hit_rows = np.asarray(hit_rows)
+    queries = [
+        test_seqs[dataset.test_ids[qi]] for qi in range(hit_rows.shape[0])
+    ]
+    row_hits = [[int(h) for h in row if h >= 0] for row in hit_rows]
+    target_seqs = [
+        [train_seqs[dataset.train_ids[h]] for h in row]
+        for row in row_hits
+    ]
+    _, evs_rows = align_hits(
+        queries, target_seqs, db_residues=db_residues
     )
 
     hits: Dict[str, List[str]] = {}
     e_values: Dict[str, np.ndarray] = {}
-    pair_query_idx = np.asarray(pair_query_idx, dtype=np.int64)
-    pair_hit_row = np.asarray(pair_hit_row, dtype=np.int64)
-    # pairs were appended in query order → one split, not Q full scans
-    counts = np.bincount(pair_query_idx, minlength=len(dataset.test_ids))
-    bounds = np.concatenate([[0], np.cumsum(counts)])
     for qi in range(len(dataset.test_ids)):
-        sel = np.arange(bounds[qi], bounds[qi + 1])
-        if len(sel) == 0:
+        evs = evs_rows[qi] if qi < len(evs_rows) else np.zeros(0, np.float32)
+        if evs.shape[0] == 0:
             hits[dataset.test_ids[qi]] = []
             e_values[dataset.test_ids[qi]] = np.zeros(0, np.float32)
             continue
-        order = sel[np.argsort(evs[sel], kind="stable")]
+        order = np.argsort(evs, kind="stable")
         keep = order[evs[order] <= e_value_cutoff]
         hits[dataset.test_ids[qi]] = [
-            dataset.train_ids[h] for h in pair_hit_row[keep]
+            dataset.train_ids[row_hits[qi][p]] for p in keep
         ]
         e_values[dataset.test_ids[qi]] = evs[keep]
     return hits, e_values, time.time() - start

@@ -56,6 +56,13 @@ def main():
     p.add_argument("--skip-flat", action="store_true")
     p.add_argument("--skip-union", action="store_true")
     p.add_argument("--skip-dma", action="store_true")
+    p.add_argument(
+        "--store-fp32", action="store_true",
+        help="keep fp32 rows for exact rescoring (the high-recall mode;"
+        " default is the lean int8-slab layout)",
+    )
+    p.add_argument("--rescore-max-k", type=int, default=None)
+    p.add_argument("--shortlist-mult", type=float, default=4.0)
     args = p.parse_args()
 
     import jax
@@ -119,7 +126,9 @@ def main():
     t0 = time.time()
     index = IVFIndex(
         metric="cosine", nprobe=args.nprobe[0],
-        kmeans_iters=args.kmeans_iters, store_fp32=False,
+        kmeans_iters=args.kmeans_iters, store_fp32=args.store_fp32,
+        rescore_max_k=args.rescore_max_k,
+        shortlist_mult=args.shortlist_mult,
     ).add(db)
     build_s = time.time() - t0
     print(json.dumps({

@@ -164,3 +164,39 @@ def test_grouped_kernel_matches_sequential_oracle():
     got = np.asarray(sw_scores_grouped(q_codes, t_codes))[:, 0]
     want = np.asarray([sw_oracle(q, t) for q, t in zip(qs, ts)])
     np.testing.assert_allclose(got, want)
+
+
+def test_align_hits_matches_align_pairs():
+    """align_hits (query-grouped, length-sorted row packing) must equal
+    align_pairs (flat pair batches) pair-for-pair: same DP, same
+    Karlin-Altschul epilogue — only the packing differs."""
+    from knn_for_homology_tpu.ops.align import align_hits
+
+    rng = np.random.RandomState(11)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+
+    def seq(lo, hi):
+        return "".join(rng.choice(list(aas), rng.randint(lo, hi)))
+
+    queries = [seq(20, 150) for _ in range(5)]
+    hits = [
+        [seq(15, 220) for _ in range(int(c))]
+        for c in rng.randint(0, 10, size=5)
+    ]
+    db_res = float(sum(len(t) for row in hits for t in row))
+    got_s, got_e = align_hits(
+        queries, hits, db_residues=db_res, k_lanes=4, g_block=2, bucket=64
+    )
+    flat_q = [queries[i] for i, row in enumerate(hits) for _ in row]
+    flat_t = [t for row in hits for t in row]
+    want_s, want_e = align_pairs(flat_q, flat_t, db_residues=db_res,
+                                 bucket=64)
+    pos = 0
+    for i, row in enumerate(hits):
+        np.testing.assert_array_equal(
+            got_s[i], want_s[pos : pos + len(row)]
+        )
+        np.testing.assert_allclose(
+            got_e[i], want_e[pos : pos + len(row)], rtol=1e-6
+        )
+        pos += len(row)
