@@ -206,6 +206,23 @@ def main() -> None:
     for mode, rec in recalls.items():
         if mode != head:
             result[f"{mode}_recall"] = round(rec, 4)
+    # config fingerprint of the headline mode (W/qb/R/storage): makes the
+    # exact kernel shape behind the number part of the artifact, so any
+    # future planner drift is visible next to the qps it changed
+    from knn_for_homology_tpu.ops.exact_pallas import plan_fingerprint
+
+    approx_h, storage_h = MODE_ARGS[head]
+    result["config"] = dict(
+        plan_fingerprint(
+            args.n, args.d, args.k, exact=not approx_h, storage=storage_h,
+            recall_target=args.recall_target,
+            itemsize=2 if args.dtype == "bfloat16" else 4,
+        ),
+        dtype=args.dtype,
+        recall_target=args.recall_target,
+        reps=args.reps,
+        timing="min",
+    )
     print(json.dumps(result))
 
 

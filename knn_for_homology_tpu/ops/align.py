@@ -112,11 +112,14 @@ def encode_sequence(sequence: str, length: int) -> np.ndarray:
 
 
 def _dp_row(h_prev, f_prev, best, sub, gap_first, j_idx):
-    """One Smith-Waterman row update on the transposed [Lt, B] state —
-    shared by the pair-batched kernel (sub from a one-hot MXU contraction)
-    and the query-grouped kernel (sub from a profile slice), so the two
-    paths cannot drift in their DP math."""
-    diag = jnp.pad(h_prev[:-1], ((1, 0), (0, 0)))
+    """One Smith-Waterman row update on the transposed [..., Lt, B]
+    state — shared by the pair-batched kernel (sub from a one-hot MXU
+    contraction, no leading dims) and the query-grouped kernel (sub from
+    a profile gather, leading group dim), so the paths cannot drift in
+    their DP math. The target axis is always axis -2."""
+    ax = h_prev.ndim - 2
+    lead = [(0, 0)] * ax
+    diag = jnp.pad(h_prev[..., :-1, :], lead + [(1, 0), (0, 0)])
     # vertical gap (gap in target / deletion): depends on previous row;
     # first gap column costs `gap_first` (convention), then GAP_EXT
     f_new = jnp.maximum(h_prev - gap_first, f_prev - GAP_EXT)
@@ -124,11 +127,13 @@ def _dp_row(h_prev, f_prev, best, sub, gap_first, j_idx):
     # horizontal gap via prefix max-scan (exact for affine costs):
     # E[j] = max_{k<j} H0[k] - gap_first - (j-k-1)·GAP_EXT
     a = h0 + j_idx * GAP_EXT
-    prefix = jax.lax.associative_scan(jnp.maximum, a, axis=0)
-    prefix = jnp.pad(prefix[:-1], ((1, 0), (0, 0)), constant_values=NEG)
+    prefix = jax.lax.associative_scan(jnp.maximum, a, axis=ax)
+    prefix = jnp.pad(
+        prefix[..., :-1, :], lead + [(1, 0), (0, 0)], constant_values=NEG
+    )
     e_new = prefix - (gap_first - GAP_EXT) - j_idx * GAP_EXT
     h_new = jnp.maximum(h0, e_new)
-    best = jnp.maximum(best, jnp.max(h_new, axis=0))
+    best = jnp.maximum(best, jnp.max(h_new, axis=ax))
     return h_new, f_new, best
 
 
@@ -223,18 +228,23 @@ def sw_scores_grouped(
     query aligns against its own hit list), and that structure removes
     the pair-batched kernel's entire bottleneck: when a whole batch
     shares ONE query residue per row, the substitution scores are a
-    dynamic SLICE of a per-target positional profile instead of a one-hot
+    dynamic GATHER of one profile plane per group instead of a one-hot
     MXU contraction. Per DP cell that is 2 profile bytes of HBM traffic
     and ~0 FLOPs, vs sw_scores' 24 bf16 MACs + 48 profile bytes re-read
     per row — the measured pair-batched kernel sits at ~82% MXU on those
-    contractions, so the grouped layout lifts the aligner's ceiling from
-    ~3.3 G cells/s (MXU-bound) to the VPU/HBM DP bound. Identical math:
-    both kernels share _dp_row (and the DP-oracle tests).
+    contractions. Identical math: both kernels share _dp_row (and the
+    DP-oracle tests).
 
-    Profile layout [A, Lt, K]: the residue axis is MAJOR so the per-row
-    dynamic slice peels one [Lt, K] plane (sublane, lane) — no relayout.
-    bf16 planes are exact (BLOSUM entries are small integers) and halve
-    the slice traffic; the DP itself stays f32.
+    Layout: the DP state is [G, Lt, K] with G a BATCH axis of the single
+    row scan — an earlier formulation scanned groups in an outer
+    lax.scan and measured 16× the per-op dispatch overhead (each XLA op
+    on a [Lt, K] tile costs ~0.5 µs of fixed overhead; 32 ops × G×Lq
+    sequential steps dominated the wall clock at ~6 G cells/s). Batching
+    G into every op amortises that and cuts the scan trip count to Lq.
+    Profile layout [G, A, Lt, K]: the residue axis sits after the group
+    axis so the per-row take_along_axis gathers G contiguous [Lt, K]
+    planes. bf16 planes are exact (BLOSUM entries are small integers)
+    and halve the gather traffic; the DP itself stays f32.
     """
     gap_first = GAP_FIRST[convention]
     n_aa = BLOSUM62.shape[0]
@@ -242,48 +252,44 @@ def sw_scores_grouped(
     _, k_n, lt = t_codes.shape
     j_idx = jnp.arange(lt, dtype=jnp.float32)[:, None]
 
-    def one_group(carry, qt):
-        qi_row, t_g = qt  # [Lq], [K, Lt]
-        t_t = jnp.swapaxes(t_g, 0, 1)  # [Lt, K]
-        t_safe = jnp.clip(t_t, 0, n_aa - 1)
-        t_pad = t_t < 0
-        # per-target positional profile, one tiny one-hot contraction per
-        # group: profile[a, j, k] = BLOSUM[t[j, k], a]
-        onehot_t = jax.nn.one_hot(t_safe, n_aa, dtype=jnp.float32)
-        profile = jnp.einsum(
-            "jkc,ca->ajk", onehot_t, jnp.asarray(BLOSUM62, jnp.float32)
-        ).astype(jnp.bfloat16)  # [A, Lt, K]
+    t_t = jnp.swapaxes(t_codes, 1, 2)  # [G, Lt, K]
+    t_safe = jnp.clip(t_t, 0, n_aa - 1)
+    t_pad = t_t < 0
+    # per-target positional profile, one one-hot contraction for the
+    # whole call: profile[g, a, j, k] = BLOSUM[t[g, k, j], a]
+    onehot_t = jax.nn.one_hot(t_safe, n_aa, dtype=jnp.float32)
+    profile = jnp.einsum(
+        "gjkc,ca->gajk", onehot_t, jnp.asarray(BLOSUM62, jnp.float32)
+    ).astype(jnp.bfloat16)  # [G, A, Lt, K]
 
-        def row_step(c, qi):
-            h_prev, f_prev, best = c
-            plane = jax.lax.dynamic_slice_in_dim(
-                profile, jnp.clip(qi.astype(jnp.int32), 0, n_aa - 1), 1,
-                axis=0,
-            )[0].astype(jnp.float32)  # [Lt, K]
-            sub = jnp.where(t_pad | (qi < 0), NEG, plane)
-            return _dp_row(h_prev, f_prev, best, sub, gap_first, j_idx), None
-
-        init = (
-            jnp.zeros((lt, k_n), jnp.float32),
-            jnp.full((lt, k_n), NEG),
-            jnp.zeros((k_n,), jnp.float32),
+    def row_step(c, qi_g):  # qi_g: [G] this row's residue per group
+        h_prev, f_prev, best = c
+        safe = jnp.clip(qi_g.astype(jnp.int32), 0, n_aa - 1)
+        planes = jnp.take_along_axis(
+            profile, safe[:, None, None, None], axis=1
+        )[:, 0].astype(jnp.float32)  # [G, Lt, K]
+        sub = jnp.where(
+            t_pad | (qi_g < 0)[:, None, None], NEG, planes
         )
-        if scan_chunk and lq > scan_chunk and lq % scan_chunk == 0:
+        return _dp_row(h_prev, f_prev, best, sub, gap_first, j_idx), None
 
-            def outer_step(c, rows_c):
-                c, _ = jax.lax.scan(row_step, c, rows_c, unroll=unroll)
-                return c, None
+    init = (
+        jnp.zeros((g_n, lt, k_n), jnp.float32),
+        jnp.full((g_n, lt, k_n), NEG),
+        jnp.zeros((g_n, k_n), jnp.float32),
+    )
+    rows = jnp.swapaxes(q_codes, 0, 1)  # [Lq, G]
+    if scan_chunk and lq > scan_chunk and lq % scan_chunk == 0:
 
-            (_, _, best), _ = jax.lax.scan(
-                outer_step, init, qi_row.reshape(-1, scan_chunk)
-            )
-        else:
-            (_, _, best), _ = jax.lax.scan(
-                row_step, init, qi_row, unroll=unroll
-            )
-        return carry, best
+        def outer_step(c, rows_c):
+            c, _ = jax.lax.scan(row_step, c, rows_c, unroll=unroll)
+            return c, None
 
-    _, best = jax.lax.scan(one_group, None, (q_codes, t_codes))
+        (_, _, best), _ = jax.lax.scan(
+            outer_step, init, rows.reshape(-1, scan_chunk, g_n)
+        )
+    else:
+        (_, _, best), _ = jax.lax.scan(row_step, init, rows, unroll=unroll)
     return best
 
 
@@ -300,7 +306,7 @@ def align_hits(
     hits: list,  # hits[i] = list of target strings for queries[i]
     db_residues: float = None,
     k_lanes: int = 128,
-    g_block: int = 32,
+    g_block: int = 128,
     bucket: int = 128,
     convention: str = "mmseqs",
     unroll: int = 1,
@@ -311,15 +317,21 @@ def align_hits(
     query-grouped kernel. Returns (scores, e_values): lists of [len(hits
     [i])] float32 arrays aligned with the hit order.
 
-    Packing: each query's hits are sorted by length and chunked into rows
-    of `k_lanes` targets (the VPU lane width), so a row's targets are
-    near-homogeneous in length; rows land in (Lq, Lt) shape cells on a
-    `bucket`-multiple grid — Lt by the ROW's longest target, not the
-    call-wide maximum that align_pairs pads to (34× wasted DP cells on a
-    full-protein length mix). Cells dispatch in `g_block`-row chunks
-    (static shapes; trailing rows padded with -1 queries, which score 0
-    and are dropped). Length-sorting is undone through (query, position)
-    scatter indices.
+    Packing (r4, "flip-grouping"): SW scores are symmetric under swapping
+    the pair, so every pair puts its LONGER sequence on the row (scan)
+    axis and its shorter one on the lane axis, and rows group by the
+    row-side sequence — in kNN rescoring a long protein appears in ~k hit
+    lists, so flipped groups still fill their `k_lanes` lanes. This kills
+    the max-length contamination the query-grouped packing suffered
+    (each query's last sorted chunk bucketed at the p99.7 target length:
+    measured pad factor 3.79 → 2.05 on the full-protein mix), and the
+    lane axis — the VMEM-bounded one in the Pallas kernel — is now the
+    pair's MIN length, so almost every cell takes the fast kernel. Within
+    a group, lane partners sort by length and chunk into rows of
+    `k_lanes`; rows land in (Lq, Lt) cells on a `bucket`-multiple grid
+    and dispatch in free-form grids (tail chunks rounded to a power of
+    two; -1 pad rows score 0 and are dropped). Scatter indices undo all
+    of it; E-values use the TRUE query length regardless of orientation.
     """
     assert len(queries) == len(hits)
     from ..utils.compile_cache import ensure_compile_cache
@@ -333,41 +345,67 @@ def align_hits(
     def pad_len(x):
         return max(bucket, ((x + bucket - 1) // bucket) * bucket)
 
-    # rows: (query index, [hit positions]) per k_lanes chunk, cellled by
-    # the (Lq, Lt) bucket grid
-    cells: dict = {}
+    # flip-group: row side = the longer sequence (keyed by content —
+    # identical sequences share a group harmlessly)
+    groups: dict = {}
     for qi, row in enumerate(hits):
-        if not row:
-            continue
-        lq_b = pad_len(len(queries[qi]))
-        order = sorted(range(len(row)), key=lambda p: len(row[p]))
-        for start in range(0, len(order), k_lanes):
-            chunk = order[start : start + k_lanes]
-            lt_b = pad_len(max(len(row[p]) for p in chunk))
-            cells.setdefault((lq_b, lt_b), []).append((qi, chunk))
+        q = queries[qi]
+        for pos, t in enumerate(row):
+            row_seq, lane_seq = (t, q) if len(t) > len(q) else (q, t)
+            groups.setdefault(row_seq, []).append((lane_seq, qi, pos))
+
+    # rows: (row_seq, [(lane_seq, qi, pos)]) per k_lanes chunk of the
+    # length-sorted group, cellled by the (Lq, Lt) bucket grid
+    cells: dict = {}
+    for row_seq, lanes in groups.items():
+        lanes.sort(key=lambda x: len(x[0]))
+        lq_b = pad_len(len(row_seq))
+        for start in range(0, len(lanes), k_lanes):
+            chunk = lanes[start : start + k_lanes]
+            lt_b = pad_len(len(chunk[-1][0]))
+            cells.setdefault((lq_b, lt_b), []).append((row_seq, chunk))
 
     scores = [
         np.zeros(len(row), dtype=np.float32) for row in hits
     ]
+    from .align_pallas import MAX_LT_K, sw_scores_grouped_pallas
+
     for (lq_b, lt_b), rows in sorted(cells.items()):
-        for start in range(0, len(rows), g_block):
-            block = rows[start : start + g_block]
+        # the grid is free-form, so chunks need no fixed size: cap by the
+        # SMEM row-code budget (g·Lq int32 ≤ 512 KB) and round only the
+        # TAIL chunk up to a power of two (bounded compile variety)
+        g_max = max(8, min(g_block, (1 << 17) // lq_b))
+        for start in range(0, len(rows), g_max):
+            block = rows[start : start + g_max]
             g = len(block)
-            q_codes = np.full((g_block, lq_b), -1, dtype=np.int32)
-            t_codes = np.full(
-                (g_block, k_lanes, lt_b), -1, dtype=np.int32
+            g_pad = g if g == g_max else max(
+                8, 1 << (g - 1).bit_length()
             )
-            for r, (qi, chunk) in enumerate(block):
-                q_codes[r] = encode_sequence(queries[qi], lq_b)
-                for l, p in enumerate(chunk):
-                    t_codes[r, l] = encode_sequence(hits[qi][p], lt_b)
-            out = np.asarray(sw_scores_grouped(
-                jnp.asarray(q_codes), jnp.asarray(t_codes),
-                convention=convention, unroll=unroll,
-                scan_chunk=scan_chunk,
-            ))
-            for r, (qi, chunk) in enumerate(block[:g]):
-                scores[qi][chunk] = out[r, : len(chunk)]
+            q_codes = np.full((g_pad, lq_b), -1, dtype=np.int32)
+            t_codes = np.full(
+                (g_pad, k_lanes, lt_b), -1, dtype=np.int32
+            )
+            for r, (row_seq, chunk) in enumerate(block):
+                q_codes[r] = encode_sequence(row_seq, lq_b)
+                for l, (lane_seq, _, _) in enumerate(chunk):
+                    t_codes[r, l] = encode_sequence(lane_seq, lt_b)
+            # VMEM-resident Pallas DP whenever the cell's LANE axis fits
+            # its budget — 13× the XLA scan and ~1.5 s per fresh shape
+            # instead of ~85 s; the rare both-long cells fall back
+            if k_lanes % 128 == 0 and lt_b * k_lanes <= MAX_LT_K:
+                out = np.asarray(sw_scores_grouped_pallas(
+                    jnp.asarray(q_codes), jnp.asarray(t_codes),
+                    convention=convention,
+                ))
+            else:
+                out = np.asarray(sw_scores_grouped(
+                    jnp.asarray(q_codes), jnp.asarray(t_codes),
+                    convention=convention, unroll=unroll,
+                    scan_chunk=scan_chunk,
+                ))
+            for r, (_, chunk) in enumerate(block):
+                for l, (_, qi, pos) in enumerate(chunk):
+                    scores[qi][pos] = out[r, l]
     evs = []
     for qi, row in enumerate(hits):
         if len(row) == 0:

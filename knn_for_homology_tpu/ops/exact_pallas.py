@@ -753,6 +753,36 @@ def packed_pallas_topk(
     return vals, ids
 
 
+def plan_fingerprint(
+    n: int, d: int, k: int, exact: bool = False,
+    storage: str = "native", recall_target: float = 0.95,
+    itemsize: int = 2,
+) -> dict:
+    """The kernel shape the public entry points would pick — recorded in
+    bench JSON so documented headline numbers carry their exact config
+    (W / qb / R / storage) and silent planner drift shows up in the
+    artifact (VERDICT r3 #6)."""
+    k_eff = min(k, n)
+    if exact:
+        db_tile0 = 256 if k_eff >= 128 else 1024
+    else:
+        db_tile0 = max(
+            256, _round_up(n // 4096, 128) if n > 2**20 else 256
+        )
+    sq8 = storage in ("sq8", "sq8-sym", "sq8-pq")
+    db_tile, query_block, r_slots, _ = _plan(
+        n, d, k_eff, db_tile0, 320 if exact else 512,
+        None if exact else DEFAULT_R, exact, recall_target,
+        1 if sq8 else itemsize,
+    )
+    return {
+        "db_tile": db_tile,
+        "query_block": query_block,
+        "r_slots": r_slots,
+        "storage": storage,
+    }
+
+
 def _poisson_tail(lam: float, r: int) -> float:
     """P(X >= r) for X ~ Poisson(lam)."""
     import math

@@ -85,8 +85,12 @@ def main():
     _, exact_ids = exact_pallas_topk(db, q_sample, k_max, metric="ip")
     exact_ids = np.asarray(jax.block_until_ready(exact_ids))
 
+    sample_j = jnp.asarray(sample)
+
     def recall_of(ids_full, k):
-        ids = np.asarray(ids_full)[sample]
+        # subsample ON DEVICE: fetching the whole [65k, 1000] id table
+        # through the ~3 MB/s tunnel costs ~90 s per measurement
+        ids = np.asarray(jnp.asarray(ids_full)[sample_j])
         return float(np.mean([
             len(set(a[:k].tolist()) & set(b[b >= 0][:k].tolist())) / k
             for a, b in zip(exact_ids, ids)
@@ -135,6 +139,10 @@ def main():
         "build_seconds": round(build_s, 1),
         "cells": int(index._centroids.shape[0]),
     }), flush=True)
+    # the generator's db is no longer needed (the index holds its own
+    # copy when store_fp32): freeing 4 GB of HBM keeps the fp32-rescore
+    # transients from OOMing at n=2^20/d=1024
+    del db
     if args.qb:
         index.QUERY_BLOCK = args.qb
 

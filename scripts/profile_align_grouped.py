@@ -74,6 +74,22 @@ def main():
         pairs=8 * 512, cells=8 * 512 * 256 * 512, scan_chunk=128,
     )
 
+    # per-step op overhead dominates at unroll=1 (per-call times barely
+    # move with 4x the work) — unroll amortizes it
+    for u in (2, 4, 8):
+        run(
+            f"grouped-g16-k512-unroll{u}", sw_scores_grouped,
+            codes((16, lq)), codes((16, 512, lt)),
+            pairs=16 * 512, cells=16 * 512 * lq * lt,
+            scan_chunk=128, unroll=u,
+        )
+        run(
+            f"grouped-g64-k128-unroll{u}", sw_scores_grouped,
+            codes((64, lq)), codes((64, 128, lt)),
+            pairs=64 * 128, cells=64 * 128 * lq * lt,
+            scan_chunk=128, unroll=u,
+        )
+
 
 if __name__ == "__main__":
     main()
