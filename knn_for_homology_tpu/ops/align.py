@@ -368,7 +368,7 @@ def align_hits(
     scores = [
         np.zeros(len(row), dtype=np.float32) for row in hits
     ]
-    from .align_pallas import MAX_LT_K, sw_scores_grouped_pallas
+    from .align_pallas import MAX_LT_K_HBM, sw_scores_grouped_pallas
 
     for (lq_b, lt_b), rows in sorted(cells.items()):
         # the grid is free-form, so chunks need no fixed size: cap by the
@@ -392,7 +392,7 @@ def align_hits(
             # VMEM-resident Pallas DP whenever the cell's LANE axis fits
             # its budget — 13× the XLA scan and ~1.5 s per fresh shape
             # instead of ~85 s; the rare both-long cells fall back
-            if k_lanes % 128 == 0 and lt_b * k_lanes <= MAX_LT_K:
+            if k_lanes % 128 == 0 and lt_b * k_lanes <= MAX_LT_K_HBM:
                 out = np.asarray(sw_scores_grouped_pallas(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
                     convention=convention,

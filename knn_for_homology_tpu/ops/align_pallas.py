@@ -50,6 +50,9 @@ from .align import BLOSUM62, GAP_EXT, GAP_FIRST, NEG
 # (the (8, 128) tile rule binds only the last two dims)
 A_PAD = BLOSUM62.shape[0]
 MAX_LT_K = 1 << 16  # VMEM budget: profile 3 MB bf16 (×2 buffered) + state
+# the HBM-profile variant only keeps H/F (f32) + a double-buffered plane
+# (bf16) in VMEM: ~9·Lt·K bytes ≤ ~9 MB → covers Lt=2048 at K=384
+MAX_LT_K_HBM = 786432
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -67,6 +70,42 @@ def build_profile(t_codes: jnp.ndarray) -> jnp.ndarray:
         (t_t < 0)[:, None, :, :], jnp.float32(NEG), profile
     )
     return profile.astype(jnp.bfloat16)
+
+
+def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first):
+    """One DP row against a VMEM-resident [Lt, K] substitution plane —
+    shared by the resident-profile and HBM-profile kernels (identical
+    math to ops/align._dp_row; the two cannot drift)."""
+    # query-padding rows (qi < 0) knock out every position — same
+    # where the XLA kernels apply on `sub`
+    sub = jnp.where(qi < 0, jnp.float32(NEG), plane)
+    h_prev = h_ref[...]
+    f_prev = f_ref[...]
+    diag = jnp.concatenate(
+        [jnp.zeros((1, k), jnp.float32), h_prev[:-1]], axis=0
+    )
+    f_new = jnp.maximum(h_prev - gap_first, f_prev - GAP_EXT)
+    h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
+    # prefix max over the target axis (log2(Lt) shift+max sweeps):
+    # E[j] = max_{i<j} H0[i] + i·ext − (gap_first − ext) − j·ext
+    p = h0 + j_idx * GAP_EXT
+    s = 1
+    while s < lt:
+        shifted = jnp.concatenate(
+            [jnp.full((s, k), NEG, jnp.float32), p[:-s]], axis=0
+        )
+        p = jnp.maximum(p, shifted)
+        s *= 2
+    pshift = jnp.concatenate(
+        [jnp.full((1, k), NEG, jnp.float32), p[:-1]], axis=0
+    )
+    e_new = pshift - (gap_first - GAP_EXT) - j_idx * GAP_EXT
+    h_new = jnp.maximum(h0, e_new)
+    best_ref[...] = jnp.maximum(
+        best_ref[...], jnp.max(h_new, axis=0, keepdims=True)
+    )
+    h_ref[...] = h_new
+    f_ref[...] = f_new
 
 
 def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
@@ -87,36 +126,55 @@ def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
         qi = q_ref[g, r]
         safe = jnp.clip(qi, 0, A_PAD - 1)
         plane = profile_ref[0, safe].astype(jnp.float32)  # [Lt, K] VMEM
-        # query-padding rows (qi < 0) knock out every position — same
-        # where the XLA kernels apply on `sub`
-        sub = jnp.where(qi < 0, jnp.float32(NEG), plane)
-        h_prev = h_ref[...]
-        f_prev = f_ref[...]
-        diag = jnp.concatenate(
-            [jnp.zeros((1, k), jnp.float32), h_prev[:-1]], axis=0
+        _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k,
+                 gap_first)
+        return 0
+
+    jax.lax.fori_loop(0, lq, row, 0)
+    out_ref[...] = best_ref[...].reshape(out_ref.shape)
+
+
+def _sw_kernel_hbm(q_ref, profile_hbm, out_ref, h_ref, f_ref, best_ref,
+                   plane_buf, psem, *, lq, lt, gap_first):
+    """Long-target variant: the profile stays in HBM; each row's residue
+    plane is DMA'd into a double-buffered VMEM slot while the previous
+    row computes. Per-row traffic is Lt·K·2 bytes against Lt·K DP cells
+    of VPU work, so the stream hides under compute for every Lt this
+    kernel accepts (the resident kernel stays the fast path at
+    Lt·K ≤ MAX_LT_K)."""
+    k = out_ref.shape[-1]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (lt, k), 0).astype(
+        jnp.float32
+    )
+
+    h_ref[...] = jnp.zeros((lt, k), jnp.float32)
+    f_ref[...] = jnp.full((lt, k), NEG, jnp.float32)
+    best_ref[...] = jnp.zeros_like(best_ref)
+
+    g = pl.program_id(0)
+
+    def plane_copy(slot, r):
+        qi = q_ref[g, r]
+        safe = jnp.clip(qi, 0, A_PAD - 1)
+        return pltpu.make_async_copy(
+            profile_hbm.at[g, safe],
+            plane_buf.at[slot],
+            psem.at[slot],
         )
-        f_new = jnp.maximum(h_prev - gap_first, f_prev - GAP_EXT)
-        h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
-        # prefix max over the target axis (log2(Lt) shift+max sweeps):
-        # E[j] = max_{i<j} H0[i] + i·ext − (gap_first − ext) − j·ext
-        p = h0 + j_idx * GAP_EXT
-        s = 1
-        while s < lt:
-            shifted = jnp.concatenate(
-                [jnp.full((s, k), NEG, jnp.float32), p[:-s]], axis=0
-            )
-            p = jnp.maximum(p, shifted)
-            s *= 2
-        pshift = jnp.concatenate(
-            [jnp.full((1, k), NEG, jnp.float32), p[:-1]], axis=0
-        )
-        e_new = pshift - (gap_first - GAP_EXT) - j_idx * GAP_EXT
-        h_new = jnp.maximum(h0, e_new)
-        best_ref[...] = jnp.maximum(
-            best_ref[...], jnp.max(h_new, axis=0, keepdims=True)
-        )
-        h_ref[...] = h_new
-        f_ref[...] = f_new
+
+    plane_copy(0, 0).start()
+
+    def row(r, _):
+        slot = r % 2
+        plane_copy(slot, r).wait()
+
+        @pl.when(r + 1 < lq)
+        def _prefetch():
+            plane_copy((r + 1) % 2, r + 1).start()
+
+        plane = plane_buf[slot].astype(jnp.float32)
+        _dp_step(plane, q_ref[g, r], h_ref, f_ref, best_ref, j_idx, lt,
+                 k, gap_first)
         return 0
 
     jax.lax.fori_loop(0, lq, row, 0)
@@ -139,29 +197,56 @@ def sw_scores_grouped_pallas(
     gap_first = GAP_FIRST[convention]
     g_n, lq = q_codes.shape
     _, k_n, lt = t_codes.shape
-    if lt * k_n > MAX_LT_K:
+    if lt * k_n > MAX_LT_K_HBM:
         raise ValueError(
-            f"Lt*K = {lt * k_n} exceeds the VMEM budget {MAX_LT_K}; "
-            "shrink K for long targets (align drivers swap pairs so the "
-            "target axis is the shorter side)"
+            f"Lt*K = {lt * k_n} exceeds even the HBM-profile VMEM budget"
+            f" {MAX_LT_K_HBM}; shrink K for long targets (align drivers"
+            " swap pairs so the target axis is the shorter side)"
         )
     if k_n % 128:
         raise ValueError("K must be a multiple of 128 (the lane width)")
     profile = build_profile(t_codes)
 
-    out = pl.pallas_call(
-        functools.partial(
+    # resident profile while it fits VMEM; HBM profile + per-row plane
+    # DMA for the long-target tail (DMA is unavailable in interpret mode
+    # — interpret always takes the resident kernel, which has no VMEM
+    # ceiling there; the TPU-gated parity test covers the compiled HBM
+    # path)
+    hbm = (not interpret) and lt * k_n > MAX_LT_K
+    if hbm:
+        kernel = functools.partial(
+            _sw_kernel_hbm, lq=lq, lt=lt, gap_first=float(gap_first)
+        )
+        profile_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [
+            pltpu.VMEM((lt, k_n), jnp.float32),
+            pltpu.VMEM((lt, k_n), jnp.float32),
+            pltpu.VMEM((1, k_n), jnp.float32),
+            pltpu.VMEM((2, lt, k_n), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
             _sw_kernel, lq=lq, lt=lt, gap_first=float(gap_first)
-        ),
+        )
+        profile_spec = pl.BlockSpec(
+            (1, A_PAD, lt, k_n), lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = [
+            pltpu.VMEM((lt, k_n), jnp.float32),
+            pltpu.VMEM((lt, k_n), jnp.float32),
+            pltpu.VMEM((1, k_n), jnp.float32),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
         grid=(g_n,),
         in_specs=[
             # whole-array SMEM (blocked 2D SMEM operands trip the (8,128)
             # tile rule); the kernel indexes [program_id, row]
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, A_PAD, lt, k_n), lambda g: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            profile_spec,
         ],
         # [G, 1, K] output: a (1, 1, K) block satisfies the (8, 128)
         # tile rule by matching the array's trailing dims exactly
@@ -169,14 +254,12 @@ def sw_scores_grouped_pallas(
             (1, 1, k_n), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g_n, 1, k_n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((lt, k_n), jnp.float32),
-            pltpu.VMEM((lt, k_n), jnp.float32),
-            pltpu.VMEM((1, k_n), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=40 * g_n * k_n * lq * lt,
-            bytes_accessed=g_n * (A_PAD * lt * k_n * 2 + lq * 4 + k_n * 4),
+            bytes_accessed=g_n * (
+                (lq if hbm else A_PAD) * lt * k_n * 2 + lq * 4 + k_n * 4
+            ),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -68,7 +68,7 @@ def main():
 
     from knn_for_homology_tpu.ops.align import sw_scores_grouped
     from knn_for_homology_tpu.ops.align_pallas import (
-        MAX_LT_K,
+        MAX_LT_K_HBM,
         sw_scores_grouped_pallas,
     )
     from knn_for_homology_tpu.utils.compile_cache import ensure_compile_cache
@@ -159,7 +159,8 @@ def main():
         the align kernel fused. The first anchor measurement ran these as
         ~8 eager ops per block — every eager op is a relay round-trip, and
         that dispatch tax (not the DP) dominated the 207 s warm pass."""
-        use_pallas = args.k_lanes % 128 == 0 and lt * args.k_lanes <= MAX_LT_K
+        use_pallas = (args.k_lanes % 128 == 0
+                      and lt * args.k_lanes <= MAX_LT_K_HBM)
 
         def f(key, ql, tl):
             kq, kt = jax.random.split(key)

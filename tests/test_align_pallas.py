@@ -12,6 +12,7 @@ from knn_for_homology_tpu.ops.align import (
 )
 from knn_for_homology_tpu.ops.align_pallas import (
     MAX_LT_K,
+    MAX_LT_K_HBM,
     sw_scores_grouped_pallas,
 )
 
@@ -55,11 +56,22 @@ def test_pallas_shape_guards():
     q = np.zeros((2, 64), np.int32)
     with pytest.raises(ValueError, match="multiple of 128"):
         sw_scores_grouped_pallas(q, np.zeros((2, 64, 128), np.int32))
-    big_lt = MAX_LT_K // 128 + 128
+    big_lt = MAX_LT_K_HBM // 128 + 128
     with pytest.raises(ValueError, match="VMEM budget"):
         sw_scores_grouped_pallas(
             q, np.zeros((2, 128, big_lt), np.int32)
         )
+
+
+def test_long_target_interpret_matches_grouped_kernel():
+    # Lt*K above MAX_LT_K: on TPU this takes the HBM-profile DMA kernel;
+    # in interpret it stays on the resident kernel — either way scores
+    # must equal the XLA oracle
+    q_codes, t_codes = _workload(seed=13, g=2, k=128, lq=48, lt=640)
+    assert t_codes.shape[1] * t_codes.shape[2] > MAX_LT_K
+    got = np.asarray(sw_scores_grouped_pallas(q_codes, t_codes))
+    want = np.asarray(sw_scores_grouped(q_codes, t_codes))
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.skipif(
@@ -68,6 +80,23 @@ def test_pallas_shape_guards():
 )
 def test_pallas_compiled_matches_interpret():
     q_codes, t_codes = _workload(seed=11)
+    got = np.asarray(
+        sw_scores_grouped_pallas(q_codes, t_codes, interpret=False)
+    )
+    want = np.asarray(
+        sw_scores_grouped_pallas(q_codes, t_codes, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="the HBM-profile DMA kernel only exists compiled (interpret"
+    " routes to the resident kernel)",
+)
+def test_hbm_kernel_compiled_matches_interpret():
+    q_codes, t_codes = _workload(seed=17, g=2, k=128, lq=48, lt=640)
+    assert t_codes.shape[1] * t_codes.shape[2] > MAX_LT_K
     got = np.asarray(
         sw_scores_grouped_pallas(q_codes, t_codes, interpret=False)
     )
