@@ -370,6 +370,10 @@ def align_hits(
     ]
     from .align_pallas import MAX_LT_K_HBM, sw_scores_grouped_pallas
 
+    # phase 1: dispatch every block and keep device arrays — fetching
+    # each block's [g, K] output eagerly costs one relay round-trip
+    # (~60 ms here) PER BLOCK; deferring turns that into ONE sync
+    pending = []  # (device out, block) in dispatch order
     for (lq_b, lt_b), rows in sorted(cells.items()):
         # the grid is free-form, so chunks need no fixed size: cap by the
         # SMEM row-code budget (g·Lq int32 ≤ 512 KB) and round only the
@@ -389,23 +393,30 @@ def align_hits(
                 q_codes[r] = encode_sequence(row_seq, lq_b)
                 for l, (lane_seq, _, _) in enumerate(chunk):
                     t_codes[r, l] = encode_sequence(lane_seq, lt_b)
-            # VMEM-resident Pallas DP whenever the cell's LANE axis fits
-            # its budget — 13× the XLA scan and ~1.5 s per fresh shape
-            # instead of ~85 s; the rare both-long cells fall back
+            # Pallas DP whenever the cell's LANE axis fits the HBM-profile
+            # budget (resident kernel below MAX_LT_K, per-row plane DMA
+            # above it) — ~13-60× the XLA scan and ~1.5 s per fresh shape
+            # instead of ~85 s; only K>786k/lanes cells fall back
             if k_lanes % 128 == 0 and lt_b * k_lanes <= MAX_LT_K_HBM:
-                out = np.asarray(sw_scores_grouped_pallas(
+                out = sw_scores_grouped_pallas(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
                     convention=convention,
-                ))
+                )
             else:
-                out = np.asarray(sw_scores_grouped(
+                out = sw_scores_grouped(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
                     convention=convention, unroll=unroll,
                     scan_chunk=scan_chunk,
-                ))
-            for r, (_, chunk) in enumerate(block):
-                for l, (_, qi, pos) in enumerate(chunk):
-                    scores[qi][pos] = out[r, l]
+                )
+            pending.append((out, block))
+
+    # phase 2: one fetch per block after all device work is queued (the
+    # device serialises programs, so the fetches drain without stalls)
+    for out, block in pending:
+        out = np.asarray(out)
+        for r, (_, chunk) in enumerate(block):
+            for l, (_, qi, pos) in enumerate(chunk):
+                scores[qi][pos] = out[r, l]
     evs = []
     for qi, row in enumerate(hits):
         if len(row) == 0:
