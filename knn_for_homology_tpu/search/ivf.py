@@ -374,6 +374,36 @@ def _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric: str):
     return jnp.where(ids >= 0, s, -jnp.inf)
 
 
+# _union_rescore_matmul buffer/score-matrix byte caps: above these the
+# rescore falls back to the per-(query, candidate) row gather
+_MATMUL_RESCORE_BUF_MAX = 1 << 30
+_MATMUL_RESCORE_SCORES_MAX = 1 << 31
+
+
+def _union_rescore_matmul(db, q, pi, cells_sel, pos, ids, metric: str):
+    """fp32 re-scoring of the shortlist WITHOUT the per-(query, candidate)
+    row gather: gather the union's fp32 rows ONCE ([budget*lane, d] —
+    ~shortlist/lane-fill times fewer gathered rows than
+    _exact_rescore_rows' [qb, shortlist] gather), score every
+    (query, union row) pair on the MXU, and pick the shortlist's scores
+    by buffer position. Same fp32 rows + same einsum class as
+    _exact_rescore_rows, so caller-visible scores are numerically
+    equivalent; the row-gather OP overhead (not its bytes) was the
+    measured wall at the high-recall point (benchmarks/r4_campaigns.md)."""
+    gids = pi[cells_sel].reshape(-1)
+    safe = jnp.clip(gids, 0, db.shape[0] - 1)
+    buf = db[safe]  # [budget*lane, d] f32, slab-ordered
+    s = jnp.einsum(
+        "qd,bd->qb", q, buf, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        r_sq = jnp.sum(jnp.square(buf), axis=-1)
+        q_sq = jnp.sum(jnp.square(q), axis=-1)
+        s = 2.0 * s - r_sq[None, :] - q_sq[:, None]
+    vals = jnp.take_along_axis(s, pos, axis=1)
+    return jnp.where(ids >= 0, vals, -jnp.inf)
+
+
 def _union_scan_one(
     q, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
@@ -452,6 +482,14 @@ def _union_scan_one(
     if rescore:
         if rescore == "slab":
             vals = _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric)
+        elif (
+            budget * CAPACITY * d * 4 <= _MATMUL_RESCORE_BUF_MAX
+            and q.shape[0] * budget * CAPACITY * 4
+            <= _MATMUL_RESCORE_SCORES_MAX
+        ):
+            vals = _union_rescore_matmul(
+                db, q, pi, cells_sel, pos, ids, metric
+            )
         else:
             vals = _exact_rescore_rows(db, q, ids, metric)
         vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))

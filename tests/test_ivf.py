@@ -369,3 +369,33 @@ def test_route_prefs_blocked_matches_oneshot():
             jnp.asarray(db), jnp.asarray(cents), metric, 4, 64
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_ivf_matmul_rescore_matches_row_gather(metric, monkeypatch):
+    """The union-matmul fp32 rescore (ONE [budget*lane, d] union gather +
+    MXU scores picked by buffer position) must reproduce the
+    per-(query, candidate) row-gather rescore: same fp32 rows, same
+    einsum class — scores to fp32 noise, id disagreements only at
+    exact-tie swaps (einsum reassociation)."""
+    from knn_for_homology_tpu.search import ivf as ivf_mod
+
+    db = _clustered(2048, 128, 32, seed=7)
+    q = jnp.asarray(db[:64])
+    index = IVFIndex(metric=metric, nprobe=8, rescore_max_k=64).add(db)
+    k_eff, nprobe, rescore, shortlist, _ = index.plan_blocks(32)
+    assert rescore == "db"
+    vals_m, ids_m = index._union_scan_block(
+        q, k_eff, nprobe, shortlist, rescore
+    )
+    assert ivf_mod._MATMUL_RESCORE_BUF_MAX > 0  # matmul path was active
+    monkeypatch.setattr(ivf_mod, "_MATMUL_RESCORE_BUF_MAX", 0)
+    vals_g, ids_g = index._union_scan_block(
+        q, k_eff, nprobe, shortlist, rescore
+    )
+    vals_m, ids_m = np.asarray(vals_m), np.asarray(ids_m)
+    vals_g, ids_g = np.asarray(vals_g), np.asarray(ids_g)
+    np.testing.assert_allclose(vals_m, vals_g, atol=2e-5)
+    diff = ids_m != ids_g
+    assert diff.mean() < 0.01, diff.mean()
+    np.testing.assert_allclose(vals_m[diff], vals_g[diff], atol=2e-5)
