@@ -375,9 +375,43 @@ def _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric: str):
 
 
 # _union_rescore_matmul buffer/score-matrix byte caps: above these the
-# rescore falls back to the per-(query, candidate) row gather
-_MATMUL_RESCORE_BUF_MAX = 1 << 30
+# rescore falls back to the per-(query, candidate) row gather (chunked
+# over query sub-blocks, so the fallback is qb-independent too)
+_MATMUL_RESCORE_BUF_MAX = 1 << 31
 _MATMUL_RESCORE_SCORES_MAX = 1 << 31
+
+# per-dispatch transient budget for the chunked row-gather rescores
+_RESCORE_CHUNK_BYTES = 2 << 30
+
+
+def _map_rescore(fn, q, ids, per_query_bytes: int):
+    """Run a row-gather rescore over query SUB-BLOCKS (lax.map) so its
+    [chunk, shortlist, d] gather transient stays under
+    _RESCORE_CHUNK_BYTES no matter how large the union-scan query block
+    is. This is what lets plan_blocks keep qb large — the rescore pass's
+    FIXED per-block costs (union fp32 gather, routing epilogue) then
+    amortise over 4-16x more queries (the measured wall at the
+    high-recall n=2^20 point, scripts/profile_ivf_union.py)."""
+    qb = q.shape[0]
+    chunk = max(64, 1 << max(
+        _RESCORE_CHUNK_BYTES // max(per_query_bytes, 1), 1
+    ).bit_length() - 1)
+    if qb <= chunk:
+        return fn(q, ids)
+    g = -(-qb // chunk)
+    pad = g * chunk - qb
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.broadcast_to(q[-1:], (pad, q.shape[1]))]
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(ids[-1:], (pad, ids.shape[1]))]
+        )
+    out = jax.lax.map(
+        lambda t: fn(t[0], t[1]),
+        (q.reshape(g, chunk, -1), ids.reshape(g, chunk, -1)),
+    )
+    return out.reshape(g * chunk, -1)[:qb]
 
 
 def _union_rescore_matmul(db, q, pi, cells_sel, pos, ids, metric: str):
@@ -480,8 +514,15 @@ def _union_scan_one(
     if metric == "l2":
         vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
     if rescore:
+        s_actual = ids.shape[1]
         if rescore == "slab":
-            vals = _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric)
+            # dequantised slab rows transient: int8 gather + f32 rows
+            vals = _map_rescore(
+                lambda qq, ii: _slab_rescore_rows(
+                    pv, sc, row_sq, slot, qq, ii, metric
+                ),
+                q, ids, s_actual * pv.shape[1] * 5,
+            )
         elif (
             budget * CAPACITY * d * 4 <= _MATMUL_RESCORE_BUF_MAX
             and q.shape[0] * budget * CAPACITY * 4
@@ -491,7 +532,10 @@ def _union_scan_one(
                 db, q, pi, cells_sel, pos, ids, metric
             )
         else:
-            vals = _exact_rescore_rows(db, q, ids, metric)
+            vals = _map_rescore(
+                lambda qq, ii: _exact_rescore_rows(db, qq, ii, metric),
+                q, ids, s_actual * d * 4,
+            )
         vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
         ids = jnp.take_along_axis(ids, order, axis=1)
     elif vals.shape[1] > k_eff:
@@ -907,9 +951,8 @@ class IVFIndex:
     def plan_blocks(self, k: int):
         """Shared search sizing: (k_eff, nprobe, rescore, shortlist, qb).
         `qb` is the EFFECTIVE query block (benches should report this,
-        not QUERY_BLOCK): the rescore pass materialises a
-        [qb, shortlist, d] f32 gather, so qb halves until the transient
-        fits ~2 GB.
+        not QUERY_BLOCK); rescore transients are chunk-bounded
+        independently of qb (_map_rescore), so qb stays QUERY_BLOCK.
 
         * nprobe: the candidate pool must cover k with headroom (2x:
           capacity padding and imperfect routing eat into the nominal
@@ -945,10 +988,14 @@ class IVFIndex:
             if rescore
             else k_eff
         )
+        # qb is NOT halved for the rescore transient any more: both
+        # row-gather rescores chunk internally (_map_rescore) and the
+        # union-matmul rescore's buffer is qb-independent, so large
+        # blocks only amortise the rescore pass's fixed per-block costs.
+        # The r3 halving forced qb=256 at shortlist=1500/d=1024 — the
+        # measured wall behind the 5.5k q/s high-recall plateau
+        # (scripts/profile_ivf_union.py).
         qb = self.QUERY_BLOCK
-        d = self._d
-        while rescore and qb > 256 and qb * shortlist * d * 4 > 2e9:
-            qb //= 2
         return k_eff, nprobe, rescore, shortlist, qb
 
     def _row_sq_arg(self) -> jnp.ndarray:

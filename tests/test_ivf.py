@@ -371,6 +371,33 @@ def test_route_prefs_blocked_matches_oneshot():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("lean", [False, True])
+def test_ivf_chunked_rescore_matches_unchunked(lean, monkeypatch):
+    """_map_rescore (the qb-independent transient bound) must be a pure
+    refactor: forcing a tiny chunk budget so the lax.map path runs at
+    test scale, results are BIT-identical to the single-dispatch rescore
+    (same gathers, same einsum, just sub-block mapped)."""
+    from knn_for_homology_tpu.search import ivf as ivf_mod
+
+    db = _clustered(2048, 128, 32, seed=11)
+    q = jnp.asarray(db[:96])  # non-pow2 vs chunk: exercises the pad path
+    index = IVFIndex(
+        metric="cosine", nprobe=8, rescore_max_k=64, store_fp32=not lean
+    ).add(db)
+    k_eff, nprobe, rescore, shortlist, _ = index.plan_blocks(32)
+    assert rescore == ("slab" if lean else "db")
+    monkeypatch.setattr(ivf_mod, "_MATMUL_RESCORE_BUF_MAX", 0)
+    vals_1, ids_1 = index._union_scan_block(
+        q, k_eff, nprobe, shortlist, rescore
+    )
+    monkeypatch.setattr(ivf_mod, "_RESCORE_CHUNK_BYTES", 1)
+    vals_c, ids_c = index._union_scan_block(
+        q, k_eff, nprobe, shortlist, rescore
+    )
+    np.testing.assert_array_equal(np.asarray(vals_c), np.asarray(vals_1))
+    np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_1))
+
+
 @pytest.mark.parametrize("metric", ["cosine", "l2"])
 def test_ivf_matmul_rescore_matches_row_gather(metric, monkeypatch):
     """The union-matmul fp32 rescore (ONE [budget*lane, d] union gather +
