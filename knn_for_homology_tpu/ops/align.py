@@ -396,8 +396,15 @@ def align_hits(
             # Pallas DP whenever the cell's LANE axis fits the HBM-profile
             # budget (resident kernel below MAX_LT_K, per-row plane DMA
             # above it) — ~13-60× the XLA scan and ~1.5 s per fresh shape
-            # instead of ~85 s; only K>786k/lanes cells fall back
-            if k_lanes % 128 == 0 and lt_b * k_lanes <= MAX_LT_K_HBM:
+            # instead of ~85 s; only K>786k/lanes cells fall back. The
+            # g_pad·lq_b term re-checks the SMEM q-code budget: g_max's
+            # floor of 8 rows can exceed it for titin-class rows
+            # (lq_b > 16384), which must take the XLA path (ADVICE r4)
+            if (
+                k_lanes % 128 == 0
+                and lt_b * k_lanes <= MAX_LT_K_HBM
+                and g_pad * lq_b <= 1 << 17
+            ):
                 out = sw_scores_grouped_pallas(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
                     convention=convention,

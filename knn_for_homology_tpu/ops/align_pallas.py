@@ -18,7 +18,9 @@ sw_scores_grouped — CI asserts it in interpret mode, the TPU-gated test
 against the compiled kernel.
 
 Layout per group g (grid step):
-  * profile [A_PAD=32, Lt, K] bf16 — plane a holds BLOSUM[t[j,k], a];
+  * profile [A_PAD, Lt, K] bf16 (A_PAD = the alphabet size, 24 — the
+    leading axis is untiled, so no padding applies) — plane a holds
+    BLOSUM[t[j,k], a];
     target-padding positions hold the -1e9 knockout in EVERY plane, so
     the kernel needs no separate pad mask. bf16 is exact for BLOSUM
     integers and the knockout only needs magnitude.

@@ -413,6 +413,21 @@ def _candidates_and_topk(
 VMEM_BUDGET = 13 * 1024 * 1024
 
 
+def default_plan_inputs(n: int, k_eff: int, exact: bool):
+    """(db_tile0, query_block0) the public entry points start _plan from —
+    the ONE place these defaults live, shared with plan_fingerprint so the
+    bench-JSON config artifact cannot drift from the kernel actually run
+    (ADVICE r4). Rationale: narrow segments shrink the per-query state
+    (vals+ids for exact, packed int32 for approx), buying a bigger query
+    block on this db-restream-bound engine; large n widens the approx tile
+    again so the packed pass-index field keeps >= ~20 bits of value
+    precision; small exact k keeps the wide tile (R won't shrink below ~2
+    anyway)."""
+    if exact:
+        return (256 if k_eff >= 128 else 1024), 320
+    return max(256, _round_up(n // 4096, 128) if n > 2**20 else 256), 512
+
+
 def _state_bytes_per_slot(n: int, db_tile: int, exact: bool) -> int:
     """Exact: ordered-int32 value + narrowest pass-index id that fits.
     Approx: one packed int32."""
@@ -689,14 +704,11 @@ def packed_pallas_topk(
         interpret = jax.default_backend() != "tpu"
     if highest_precision is None:
         highest_precision = not prequant and db.dtype == jnp.float32
-    if db_tile is None:
-        # narrow segments keep the per-query state small (the query block
-        # then grows — the engine is db-restream-bound; v5e sweep: W=256/
-        # qb=512 → 342k q/s at measured recall 0.981 vs W=1024/qb=256's
-        # 264k). Large n widens W again so the packed pass-index field
-        # keeps >= ~20 bits of value precision.
-        db_tile = max(256, _round_up(n // 4096, 128) if n > 2**20 else 256)
     k_eff = min(k, n)
+    if db_tile is None:
+        # v5e sweep: W=256/qb=512 → 342k q/s at measured recall 0.981 vs
+        # W=1024/qb=256's 264k (see default_plan_inputs)
+        db_tile = default_plan_inputs(n, k_eff, exact=False)[0]
     sq8 = storage in ("sq8", "sq8-sym")
     sym = storage == "sq8-sym"
     if storage not in ("native", "sq8", "sq8-sym"):
@@ -763,15 +775,10 @@ def plan_fingerprint(
     (W / qb / R / storage) and silent planner drift shows up in the
     artifact (VERDICT r3 #6)."""
     k_eff = min(k, n)
-    if exact:
-        db_tile0 = 256 if k_eff >= 128 else 1024
-    else:
-        db_tile0 = max(
-            256, _round_up(n // 4096, 128) if n > 2**20 else 256
-        )
+    db_tile0, query_block0 = default_plan_inputs(n, k_eff, exact)
     sq8 = storage in ("sq8", "sq8-sym", "sq8-pq")
     db_tile, query_block, r_slots, _ = _plan(
-        n, d, k_eff, db_tile0, 320 if exact else 512,
+        n, d, k_eff, db_tile0, query_block0,
         None if exact else DEFAULT_R, exact, recall_target,
         1 if sq8 else itemsize,
     )
@@ -875,12 +882,9 @@ def exact_pallas_topk(
         )
     k_eff = min(k, n)
     if db_tile is None:
-        # narrow segments shrink the per-query exactness state (f32 vals +
-        # pass ids × R·W slots), buying a bigger query block — the engine
-        # is db-restream-bound. Measured at n=131k/k=1000: W=256/R=15/
-        # qb=160 → 113.9k q/s vs W=1024/R=8/qb=64 → 62k. Small k keeps the
-        # wide tile (R would not shrink below ~2 anyway).
-        db_tile = 256 if k_eff >= 128 else 1024
+        # measured at n=131k/k=1000: W=256/R=15/qb=160 → 113.9k q/s vs
+        # W=1024/R=8/qb=64's 62k (see default_plan_inputs)
+        db_tile = default_plan_inputs(n, k_eff, exact=True)[0]
 
     # under a jit/shard_map trace the host-side certificate handling
     # (np.asarray on `suspect`) cannot run — transparently defer to the
@@ -1009,7 +1013,7 @@ def exact_pallas_topk_traced(
             recall_target=recall_target,
         )
     if db_tile is None:
-        db_tile = 256 if k_eff >= 128 else 1024
+        db_tile = default_plan_inputs(n, k_eff, exact=True)[0]
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, r_slots, exact, recall_target,
         db.dtype.itemsize, exact_row_target=1e-6,

@@ -478,16 +478,19 @@ def _union_scan_one(
         q32 = jnp.pad(
             q32, ((0, 0), (0, pv.shape[1] - q32.shape[1]))
         )
-    zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
-    # int8 scan pays off when the gathered union is LARGE (stream-bound
-    # scan: half the bytes + the int8 MXU path → measured 17.8→22.4k
-    # q/s at the full-union k=1000 point); small sorted unions are
-    # overhead-bound and keep the bf16 buffer (8.7k vs 11.5k q/s if
-    # forced to int8 at the sorted small-k point)
+    # ip/cosine scan the selected slabs IN PLACE through the indirect
+    # sq8-sym kernel (ops/ivf_pallas.py): the union's bytes cross HBM
+    # exactly once at stream rate instead of three times through an XLA
+    # slab gather — the measured wall behind the r4 7-28× piece-vs-
+    # pipeline gap (benchmarks/r4_campaigns.md:150-155). `int8_min_rows`
+    # survives as an escape hatch (tests force the bf16 gather path with
+    # 10**9); l2 keeps the gather path (its −|row|² bias lane has no
+    # int8 encoding).
     int8_scan = metric != "l2" and budget * CAPACITY >= int8_min_rows
     if not int8_scan:
         buf, gids = _gather_bias_buffer(pv, pi, sc, row_sq, cells_sel, metric)
         ones = jnp.ones((q.shape[0], 1), jnp.float32)
+        zeros = jnp.zeros((q.shape[0], 127), jnp.float32)
         q_aug = jnp.concatenate([q32, ones, zeros], axis=1)
         s = min(shortlist, buf.shape[0])
         # the engine's Poisson loss multiplies the routing loss, so pin
@@ -496,20 +499,14 @@ def _union_scan_one(
             buf, q_aug, s, metric="cosine", exact=False,
             recall_target=0.995, highest_precision=False,
         )
+        ids = gids[pos]
     else:
-        from ..ops.exact_pallas import SQ8Database, packed_pallas_topk
+        from ..ops.ivf_pallas import ivf_union_topk
 
-        buf8, b_scales, gids = _gather_int8_buffer(pv, pi, sc, cells_sel)
-        # query bias = the query's own max|.|: quantises to exactly 127
-        # without changing the query's dequant scale (a 1.0 would clip)
-        q_bias = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
-        q_aug = jnp.concatenate([q32, q_bias, zeros], axis=1)
-        s = min(shortlist, buf8.shape[0])
-        vals, pos = packed_pallas_topk(
-            SQ8Database(buf8, b_scales, buf8.shape[0]),
-            q_aug, s, metric="ip", recall_target=0.995,
+        s = min(shortlist, budget * CAPACITY)
+        vals, pos, ids = ivf_union_topk(
+            pv, sc, pi, cells_sel, q32, s, recall_target=0.995,
         )
-    ids = gids[pos]
     vals = jnp.where(ids >= 0, vals, -jnp.inf)
     if metric == "l2":
         vals = vals - jnp.sum(jnp.square(q32[:, :d]), axis=-1)[:, None]
@@ -599,9 +596,12 @@ class IVFIndex:
     # rank fine there)
     RESCORE_MAX_K = 128
     QUERY_BLOCK = 4096
-    # union-scan rows at/above which the int8 buffer + sq8-sym kernel beat
-    # the dequantised bf16 buffer (see _union_scan_block)
-    INT8_UNION_MIN_ROWS = 1 << 17
+    # union-scan rows at/above which the gather-free indirect sq8-sym
+    # kernel runs (ops/ivf_pallas.py). 0 = always for ip/cosine: with no
+    # union gather there is no small-union overhead regime left (the old
+    # 1<<17 threshold balanced the int8 GATHER path against bf16; tests
+    # still force the bf16 gather path with 10**9)
+    INT8_UNION_MIN_ROWS = 0
     # the DMA expand kernel double-buffers e slabs of [128, d] int8 in
     # VMEM; cap e per call and loop (2 * e * 128 * d bytes <= ~8 MB)
     MAX_PROBE_PER_CALL = 32
