@@ -68,6 +68,15 @@ def main() -> None:
         " standard noise-floor estimator and matches bench_ivf.py)",
     )
     parser.add_argument(
+        "--hi-recall-target",
+        type=float,
+        default=0.995,
+        help="recall target of the separate HIGH-RECALL operating point"
+        " (storage sq8-sym2: two-level int8 query quantisation — the"
+        " FAISS-HNSW efSearch=256 recall class, VERDICT r4 #4); emitted as"
+        " hi_recall_qps / hi_recall. 0 disables",
+    )
+    parser.add_argument(
         "--quick", action="store_true", help="tiny smoke-test shapes (CPU ok)"
     )
     parser.add_argument(
@@ -189,6 +198,59 @@ def main() -> None:
             )
         )
 
+    # high-recall operating point (VERDICT r4 #4): prequantised db +
+    # two-level int8 queries (sq8-sym2) at a >= 0.99-class recall target —
+    # the honest same-recall-class comparison with the reference's
+    # efSearch=256 HNSW anchor. Measured separately from the headline so
+    # both (throughput point, recall point) live in every artifact.
+    hi = {}
+    if args.hi_recall_target:
+        if db_pq is None:
+            from knn_for_homology_tpu.ops.exact_pallas import (
+                quantize_database,
+            )
+
+            db_pq = quantize_database(db)
+            jax.block_until_ready(db_pq.db_i8)
+
+        def run_hi():
+            _, ids = flat_topk(
+                db_pq, db, args.k, metric="ip", approx=True,
+                recall_target=args.hi_recall_target, storage="sq8-sym2",
+            )
+            jax.block_until_ready(ids)
+            np.asarray(ids[:1, :1])
+            return ids
+
+        hi_ids = run_hi()  # warmup + compile
+        best = float("inf")
+        for _ in range(max(1, args.reps)):
+            start = time.time()
+            hi_ids = run_hi()
+            best = min(best, time.time() - start)
+        if exact_ids is None:
+            _, e = flat_topk(db, db[:sub], args.k, metric="ip")
+            exact_ids = np.asarray(e)
+        got = np.asarray(hi_ids[:sub])
+        hi = {
+            "hi_recall_qps": round(args.n / best, 2),
+            "hi_recall_vs_baseline": round(
+                (args.n / best) / reference_qps, 2
+            ),
+            "hi_recall": round(
+                float(
+                    np.mean(
+                        [
+                            len(set(a.tolist()) & set(b.tolist())) / args.k
+                            for a, b in zip(got, exact_ids)
+                        ]
+                    )
+                ),
+                4,
+            ),
+            "hi_recall_target": args.hi_recall_target,
+        }
+
     head = modes[0]
     head_qps = args.n / stats[head]
     result = {
@@ -206,6 +268,7 @@ def main() -> None:
     for mode, rec in recalls.items():
         if mode != head:
             result[f"{mode}_recall"] = round(rec, 4)
+    result.update(hi)
     # config fingerprint of the headline mode (W/qb/R/storage): makes the
     # exact kernel shape behind the number part of the artifact, so any
     # future planner drift is visible next to the qps it changed

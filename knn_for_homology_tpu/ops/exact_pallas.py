@@ -264,7 +264,7 @@ def _segment_packed_sq8_kernel(
 
 
 def _segment_packed_sq8sym_kernel(
-    nv_ref, q_ref, db_ref, sc_ref, buf_ref, *, r_slots, n_db, jbits
+    nv_ref, q_ref, *refs, r_slots, n_db, jbits, two_level
 ):
     """Symmetric int8 variant (ip/cosine only): queries are ALSO int8, so
     the MXU runs its native int8×int8→int32 path at 2× the bf16 MAC rate
@@ -273,21 +273,37 @@ def _segment_packed_sq8sym_kernel(
     row's candidate ranking and is applied to the decoded top-k values in
     the epilogue, not here; only the per-db-row scale (per column — rank-
     relevant) multiplies in-kernel. l2 needs the query scale inside the
-    2qd−|q|²−|d|² combination, so it stays on the asymmetric kernel."""
+    2qd−|q|²−|d|² combination, so it stays on the asymmetric kernel.
+
+    `two_level` ("sq8-sym2") adds a second int8 pass over the RESIDUAL
+    query q_lo = round((q/qsc − q_hi)·128): sims ∝ d_hi + d_lo/128, both
+    dots exact in int32, shrinking the query-side quantisation step
+    127×256-fold (16-bit-quality scores) at 2× the MAC cost and the SAME
+    db stream — the recall ≥0.99 operating mode (the storage noise floor
+    is then the only approximation beyond the slot loss)."""
+    if two_level:
+        qlo_ref, db_ref, sc_ref, buf_ref = refs
+    else:
+        db_ref, sc_ref, buf_ref = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         buf_ref[:] = jnp.full_like(buf_ref, INT32_MIN)
 
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    def int8_dot(qr):
+        return jax.lax.dot_general(
+            qr,
+            db_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    sims = int8_dot(q_ref[:]).astype(jnp.float32)
+    if two_level:
+        sims = sims + int8_dot(qlo_ref[:]).astype(jnp.float32) * (1.0 / 128.0)
     sc = sc_ref[:]  # [1, tile] f32 per-db-row dequant scales
-    sims = dots.astype(jnp.float32) * sc
+    sims = sims * sc
     tile = db_ref.shape[0]
     col_ids = j * tile + jax.lax.broadcasted_iota(
         jnp.int32, (sims.shape[0], tile), 1
@@ -571,27 +587,37 @@ def _decode_packed(buf, k, db_tile, jbits):
     jax.jit,
     static_argnames=(
         "k", "r_slots", "metric", "db_tile", "query_block", "interpret",
-        "sym",
+        "sym", "two_level",
     ),
 )
 def _packed_candidates_topk_sq8(
     db_i8, sc_tiles, queries, k, r_slots, metric, db_tile, query_block,
-    interpret, n_valid=None, sym=False,
+    interpret, n_valid=None, sym=False, two_level=False,
 ):
     """SQ8 packed kernel + shared epilogue. `db_i8` [N, d] int8 (rows
     already padded to db_tile), `sc_tiles` [1, N] f32 per-row dequant
     scales (a 1-row layout: Mosaic accepts a (1, db_tile) block only when
     the sublane dim equals the whole array's; pad rows carry scale 1 and
     are masked via n_valid). `sym` quantises the queries too and scores
-    on the int8 MXU path (ip/cosine only)."""
+    on the int8 MXU path (ip/cosine only); `two_level` adds the residual
+    query pass (sq8-sym2 — see the kernel docstring)."""
     n, d = db_i8.shape
     q_n = queries.shape[0]
 
+    q_lo = None
     if sym:
         from .graph_pallas import quantize_int8
 
-        q8, qsc = quantize_int8(queries.astype(jnp.float32))
+        q32 = queries.astype(jnp.float32)
+        q8, qsc = quantize_int8(q32)
         q_p = pad_rows(q8, query_block)
+        if two_level:
+            # residual quantised at exactly qsc/128: codes <= 64, and the
+            # fixed ratio keeps the kernel's combine a constant
+            resid = q32 / qsc[:, None] - q8.astype(jnp.float32)
+            q_lo = pad_rows(
+                jnp.round(resid * 128.0).astype(jnp.int8), query_block
+            )
     else:
         q_p = pad_rows(queries, query_block).astype(jnp.bfloat16)
     n_tiles = n // db_tile
@@ -600,11 +626,17 @@ def _packed_candidates_topk_sq8(
     width = r_slots * db_tile
 
     nv = jnp.full((1,), n if n_valid is None else n_valid, jnp.int32)
+    q_spec = pl.BlockSpec(
+        (query_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    extra_args, extra_specs = (), ()
     if sym:
         kernel = functools.partial(
             _segment_packed_sq8sym_kernel,
-            r_slots=r_slots, n_db=n, jbits=jbits,
+            r_slots=r_slots, n_db=n, jbits=jbits, two_level=two_level,
         )
+        if two_level:
+            extra_args, extra_specs = (q_lo,), (q_spec,)
     else:
         kernel = functools.partial(
             _segment_packed_sq8_kernel,
@@ -615,9 +647,8 @@ def _packed_candidates_topk_sq8(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (query_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-            ),
+            q_spec,
+            *extra_specs,
             pl.BlockSpec(
                 (db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
@@ -631,16 +662,16 @@ def _packed_candidates_topk_sq8(
         ),
         out_shape=jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * q_p.shape[0] * n * d,
+            flops=(4 if two_level else 2) * q_p.shape[0] * n * d,
             bytes_accessed=(
-                q_p.shape[0] * d * (1 if sym else 2)
+                q_p.shape[0] * d * (2 if two_level else 1 if sym else 2)
                 + grid[0] * n * (d + 4)
                 + q_p.shape[0] * width * 4
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(nv, q_p, db_i8, sc_tiles)
+    )(nv, q_p, *extra_args, db_i8, sc_tiles)
     vals, ids = _decode_packed(buf[:q_n], k, db_tile, jbits)
     if sym:
         # per-query dequant scale: rank-neutral, folded in after decode
@@ -685,8 +716,13 @@ def packed_pallas_topk(
     values then carry the quantisation error too). `"sq8-sym"` quantises
     the queries too and scores on the MXU's native int8×int8→int32 path
     at 2× the bf16 MAC rate (ip/cosine; l2 silently uses the asymmetric
-    kernel). Repeated-search callers can pass `db` as an `SQ8Database`
-    (quantize_database) to skip the per-call quantisation passes."""
+    kernel). `"sq8-sym2"` adds a second int8 pass over the residual
+    query (q ≈ q_hi + q_lo/128, both dots exact in int32): 16-bit-quality
+    scores at 2× the sym MAC cost and the SAME db stream — the
+    recall ≥0.99 operating mode (storage quantisation becomes the only
+    noise beyond the Poisson slot loss). Repeated-search callers can pass
+    `db` as an `SQ8Database` (quantize_database) to skip the per-call
+    quantisation passes."""
     prequant = isinstance(db, SQ8Database)
     if prequant:
         if storage == "native":
@@ -709,15 +745,16 @@ def packed_pallas_topk(
         # v5e sweep: W=256/qb=512 → 342k q/s at measured recall 0.981 vs
         # W=1024/qb=256's 264k (see default_plan_inputs)
         db_tile = default_plan_inputs(n, k_eff, exact=False)[0]
-    sq8 = storage in ("sq8", "sq8-sym")
-    sym = storage == "sq8-sym"
-    if storage not in ("native", "sq8", "sq8-sym"):
+    sq8 = storage in ("sq8", "sq8-sym", "sq8-sym2")
+    sym = storage in ("sq8-sym", "sq8-sym2")
+    two_level = storage == "sq8-sym2"
+    if storage not in ("native", "sq8", "sq8-sym", "sq8-sym2"):
         raise ValueError(f"unknown storage {storage!r}")
     if sym and metric == "l2":
         # the query scale enters l2's 2qd−|q|²−|d|² combination per row —
         # not a rank-neutral epilogue factor — so l2 keeps the asymmetric
         # kernel (bf16 queries, int8 db)
-        sym = False
+        sym = two_level = False
     db_tile, query_block, r_slots, max_block = _plan(
         n, d, k_eff, db_tile, query_block, DEFAULT_R, False, recall_target,
         1 if sq8 else db.dtype.itemsize,
@@ -746,6 +783,7 @@ def packed_pallas_topk(
             vals, ids = _packed_candidates_topk_sq8(
                 db_i8, sc_tiles, queries[s : s + max_block], k_eff, r_slots,
                 metric, db_tile, query_block, interpret, nv_sq8, sym=sym,
+                two_level=two_level,
             )
         else:
             vals, ids = _packed_candidates_topk(
@@ -776,7 +814,7 @@ def plan_fingerprint(
     artifact (VERDICT r3 #6)."""
     k_eff = min(k, n)
     db_tile0, query_block0 = default_plan_inputs(n, k_eff, exact)
-    sq8 = storage in ("sq8", "sq8-sym", "sq8-pq")
+    sq8 = storage in ("sq8", "sq8-sym", "sq8-sym2", "sq8-pq", "sq8-pq2")
     db_tile, query_block, r_slots, _ = _plan(
         n, d, k_eff, db_tile0, query_block0,
         None if exact else DEFAULT_R, exact, recall_target,

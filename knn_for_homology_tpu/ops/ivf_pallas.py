@@ -52,12 +52,27 @@ from .graph_pallas import LANE, quantize_int8
 SLABS_PER_STEP = 8
 
 
-def _indirect_sq8sym_kernel(cells_ref, q_ref, *refs, e, r_slots, jbits):
+def _indirect_sq8sym_kernel(
+    cells_ref, q_ref, *refs, e, r_slots, jbits, two_level
+):
     """Grid (query_blocks, budget // e). Step (i, j) scores query block i
     against slabs cells[j*e : (j+1)*e] and inserts into the block's packed
     candidate buffer (revisited across j → VMEM-resident, exactly like the
-    flat packed kernel's)."""
+    flat packed kernel's).
+
+    `two_level` (compute="sym2") adds a second int8 pass over the RESIDUAL
+    query q_lo = round((q/qsc − q_hi)·128): sims ∝ d_hi + d_lo/128, both
+    dots exact in int32, so the query-side quantisation step shrinks
+    127×256-fold — 16-bit-quality scores at 2× the int8 MAC cost, with NO
+    fp32 rescore pass (and so no row gather, the r4 high-recall wall).
+    The 1/128 ratio is a compile-time constant (the residual is quantised
+    at qsc/128 by construction), so no per-query scale enters the kernel;
+    the shared qsc stays a rank-neutral epilogue factor. The remaining
+    caller-visible error is the int8 STORAGE quantisation (~0.07 % at
+    d=1024) — the same floor the dequantised-slab fp32 rescore had."""
     del cells_ref  # consumed by the index_maps
+    qlo_ref = refs[0] if two_level else None
+    refs = refs[1:] if two_level else refs
     slabs = refs[:e]
     scs = refs[e : 2 * e]
     pids = refs[2 * e : 3 * e]
@@ -69,15 +84,24 @@ def _indirect_sq8sym_kernel(cells_ref, q_ref, *refs, e, r_slots, jbits):
         buf_ref[:] = jnp.full_like(buf_ref, INT32_MIN)
 
     slab = jnp.concatenate([s[...] for s in slabs], axis=0)  # [e*LANE, d]
-    sc = jnp.concatenate([s[...] for s in scs], axis=1)  # [1, e*LANE]
-    pid = jnp.concatenate([p[...] for p in pids], axis=1)  # [1, e*LANE]
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        slab,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    sims = dots.astype(jnp.float32) * sc
+    # scale/id rows ride as [1, 1, LANE] blocks (Mosaic wants the last two
+    # block dims divisible by (8, 128) OR equal to the array's — the 3D
+    # view satisfies the latter, as in graph_pallas)
+    sc = jnp.concatenate([s[...] for s in scs], axis=2).reshape(1, -1)
+    pid = jnp.concatenate([p[...] for p in pids], axis=2).reshape(1, -1)
+
+    def int8_dot(qr):
+        return jax.lax.dot_general(
+            qr,
+            slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    sims = int8_dot(q_ref[:]).astype(jnp.float32)
+    if two_level:
+        sims = sims + int8_dot(qlo_ref[:]).astype(jnp.float32) * (1.0 / 128.0)
+    sims = sims * sc
     # capacity-padding slots carry packed id -1 (their rows are zeros —
     # which would otherwise outrank genuinely negative similarities)
     _pack_and_insert(
@@ -90,12 +114,13 @@ def _indirect_sq8sym_kernel(cells_ref, q_ref, *refs, e, r_slots, jbits):
     static_argnames=("k", "r_slots", "query_block", "e", "jbits", "interpret"),
 )
 def _indirect_candidates(
-    pv, sc, pi, cells, q8, k, r_slots, query_block, e, jbits, interpret
+    pv, sc, pi, cells, q8, q8_lo, k, r_slots, query_block, e, jbits,
+    interpret,
 ):
-    c_total = pi.shape[0]
     d = pv.shape[1]
     budget = cells.shape[0]
     tile = e * LANE
+    two_level = q8_lo is not None
     q_p = pad_rows(q8, query_block)
     grid = (q_p.shape[0] // query_block, budget // e)
     width = r_slots * tile
@@ -107,14 +132,20 @@ def _indirect_candidates(
 
     def row_spec(u):
         return pl.BlockSpec(
-            (1, LANE), lambda i, j, cells, u=u: (cells[j * e + u], 0)
+            (1, 1, LANE), lambda i, j, cells, u=u: (cells[j * e + u], 0, 0)
         )
 
+    q_spec = pl.BlockSpec((query_block, d), lambda i, j, cells: (i, 0))
+    q_args = [q_p]
+    q_specs = [q_spec]
+    if two_level:
+        q_args.append(pad_rows(q8_lo, query_block))
+        q_specs.append(q_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((query_block, d), lambda i, j, cells: (i, 0)),
+            *q_specs,
             *[slab_spec(u) for u in range(e)],
             *[row_spec(u) for u in range(e)],
             *[row_spec(u) for u in range(e)],
@@ -125,21 +156,27 @@ def _indirect_candidates(
     )
     buf = pl.pallas_call(
         functools.partial(
-            _indirect_sq8sym_kernel, e=e, r_slots=r_slots, jbits=jbits
+            _indirect_sq8sym_kernel, e=e, r_slots=r_slots, jbits=jbits,
+            two_level=two_level,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q_p.shape[0], width), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * q_p.shape[0] * budget * LANE * d,
+            flops=(4 if two_level else 2) * q_p.shape[0] * budget * LANE * d,
             bytes_accessed=(
-                q_p.shape[0] * d
+                q_p.shape[0] * d * (2 if two_level else 1)
                 + grid[0] * budget * (LANE * d + LANE * 8)
                 + q_p.shape[0] * width * 4
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(cells.astype(jnp.int32), q_p, *([pv] * e), *([sc] * e), *([pi] * e))
+    )(
+        cells.astype(jnp.int32), *q_args,
+        *([pv] * e),
+        *([sc.reshape(-1, 1, LANE)] * e),
+        *([pi.reshape(-1, 1, LANE)] * e),
+    )
     return buf[: q8.shape[0]]
 
 
@@ -152,6 +189,7 @@ def ivf_union_topk(
     k: int,
     recall_target: float = 0.995,
     query_block: int = 512,
+    compute: str = "sym",
     interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """→ (vals [Q, k] f32 desc, pos [Q, k] int32, ids [Q, k] int32).
@@ -159,7 +197,14 @@ def ivf_union_topk(
     `pos` indexes the virtual slab-ordered buffer (cell slot
     `pos // LANE` within `cells`, lane `pos % LANE`) — the same
     convention as the gather path's, so the fp32 rescores are reusable.
-    Empty slots carry (-inf, -1, -1). Traceable (static budget)."""
+    Empty slots carry (-inf, -1, -1). Traceable (static budget).
+
+    `compute="sym"` is the one-pass int8 scan (~0.4 % query quantisation
+    noise — fine when an fp32 rescore follows or recall sits in the 0.95
+    class); `"sym2"` adds the residual int8 pass (see the kernel
+    docstring) for storage-floor recall with no rescore pass at all."""
+    if compute not in ("sym", "sym2"):
+        raise ValueError(f"unknown compute {compute!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     d = pv.shape[1]
@@ -176,6 +221,13 @@ def ivf_union_topk(
     if q32.shape[1] != d:  # slabs are lane-padded at pack time
         q32 = jnp.pad(q32, ((0, 0), (0, d - q32.shape[1])))
     q8, qsc = quantize_int8(q32)
+    q8_lo = None
+    if compute == "sym2":
+        # residual quantised at exactly qsc/128: |resid| <= qsc/2 per
+        # element → codes <= 64, no clipping; the fixed ratio keeps the
+        # kernel's combine a compile-time constant
+        resid = q32 / qsc[:, None] - q8.astype(jnp.float32)
+        q8_lo = jnp.round(resid * 128.0).astype(jnp.int8)
     _, query_block, r_slots, max_block = _plan(
         n_rows, d, k_eff, tile, query_block, DEFAULT_R, False,
         recall_target, 1,
@@ -184,8 +236,9 @@ def ivf_union_topk(
     for s in range(0, q8.shape[0], max_block):
         outs.append(
             _indirect_candidates(
-                pv, sc, pi, cells, q8[s : s + max_block], k_eff, r_slots,
-                query_block, e, jbits, interpret,
+                pv, sc, pi, cells, q8[s : s + max_block],
+                None if q8_lo is None else q8_lo[s : s + max_block],
+                k_eff, r_slots, query_block, e, jbits, interpret,
             )
         )
     buf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

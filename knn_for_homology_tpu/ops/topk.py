@@ -198,7 +198,7 @@ def flat_topk(
             jnp.zeros((0, k), jnp.float32),
             jnp.zeros((0, k), jnp.int32),
         )
-    if storage in ("sq8", "sq8-sym"):
+    if storage in ("sq8", "sq8-sym", "sq8-sym2"):
         if not approx:
             raise ValueError(
                 "storage='sq8' is an approx-mode storage (quantised scores"

@@ -652,6 +652,10 @@ class ShardedIVFIndex:
                     shortlist=shortlist, rescore=rescore_mode,
                     budget=budget,
                     int8_min_rows=IVFIndex.INT8_UNION_MIN_ROWS,
+                    # same rule as IVFIndex.plan_blocks: lift query-side
+                    # quantisation noise in the scan when no true-fp32
+                    # rescore follows
+                    compute="sym" if rescore_mode == "db" else "sym2",
                 )
 
             _, (vals, ids) = jax.lax.scan(

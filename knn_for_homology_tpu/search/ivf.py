@@ -441,7 +441,7 @@ def _union_rescore_matmul(db, q, pi, cells_sel, pos, ids, metric: str):
 def _union_scan_one(
     q, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
-    sel=None,
+    compute="sym", sel=None,
 ):
     """One query block through the batched union scan (traceable; static
     `budget` cells). See IVFIndex docstring for the path's rationale.
@@ -506,6 +506,7 @@ def _union_scan_one(
         s = min(shortlist, budget * CAPACITY)
         vals, pos, ids = ivf_union_topk(
             pv, sc, pi, cells_sel, q32, s, recall_target=0.995,
+            compute=compute,
         )
     vals = jnp.where(ids >= 0, vals, -jnp.inf)
     if metric == "l2":
@@ -545,12 +546,13 @@ def _union_scan_one(
     jax.jit,
     static_argnames=(
         "metric", "k_eff", "nprobe", "shortlist", "rescore", "budget",
-        "int8_min_rows",
+        "int8_min_rows", "compute",
     ),
 )
 def _union_scan_stacked(
     q_blocks, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
+    compute="sym",
 ):
     """All same-budget query blocks in ONE device call: a lax.scan over
     [G, qb, d] stacked blocks, each through _union_scan_one. The per-block
@@ -565,6 +567,7 @@ def _union_scan_stacked(
             q, centroids, pv, pi, sc, row_sq, db, slot,
             metric=metric, k_eff=k_eff, nprobe=nprobe, shortlist=shortlist,
             rescore=rescore, budget=budget, int8_min_rows=int8_min_rows,
+            compute=compute,
         )
 
     _, (vals, ids) = jax.lax.scan(body, None, q_blocks)
@@ -747,7 +750,7 @@ class IVFIndex:
             q_all = l2_normalize(q_all)
         n = self.ntotal
         c = self._centroids.shape[0]
-        k_eff, nprobe, rescore, shortlist, qb = self.plan_blocks(k)
+        k_eff, nprobe, rescore, shortlist, qb, compute = self.plan_blocks(k)
         interpret = jax.default_backend() != "tpu"
         pv, pi, sc = self._packed
         traced = isinstance(q_all, jax.core.Tracer)
@@ -847,6 +850,7 @@ class IVFIndex:
                         nprobe=nprobe, shortlist=shortlist,
                         rescore=rescore, budget=b,
                         int8_min_rows=self.INT8_UNION_MIN_ROWS,
+                        compute=compute,
                     )
                     for j, bi in enumerate(chunk):
                         out_v[bi] = vals[j]
@@ -922,7 +926,8 @@ class IVFIndex:
         return finalize_scores(sims, self.metric), ids
 
     def _union_scan_block(
-        self, q, k_eff, nprobe, shortlist, rescore, budget=None
+        self, q, k_eff, nprobe, shortlist, rescore, budget=None,
+        compute="sym",
     ):
         """Batched search over the union of the block's probed cells (see
         class docstring). The power-of-two cell `budget` sizing the gather
@@ -945,11 +950,13 @@ class IVFIndex:
             self._db_arg(), self._slot_arg(), metric=self.metric,
             k_eff=k_eff, nprobe=nprobe,
             shortlist=shortlist, rescore=rescore, budget=budget,
-            int8_min_rows=self.INT8_UNION_MIN_ROWS, sel=sel,
+            int8_min_rows=self.INT8_UNION_MIN_ROWS, compute=compute,
+            sel=sel,
         )
 
     def plan_blocks(self, k: int):
-        """Shared search sizing: (k_eff, nprobe, rescore, shortlist, qb).
+        """Shared search sizing:
+        (k_eff, nprobe, rescore, shortlist, qb, compute).
         `qb` is the EFFECTIVE query block (benches should report this,
         not QUERY_BLOCK); rescore transients are chunk-bounded
         independently of qb (_map_rescore), so qb stays QUERY_BLOCK.
@@ -980,6 +987,15 @@ class IVFIndex:
         )
         if k_eff <= max_rescore_k:
             rescore = "db" if self._db is not None else "slab"
+        # Without a TRUE-fp32 rescore pass ("db"), lift the query-side
+        # quantisation noise IN the scan instead: the sym2 residual int8
+        # pass reaches the same storage-noise floor the dequantised-slab
+        # fp32 rescore does, without a per-candidate row gather — the r4
+        # high-recall wall was exactly that gather at k=1000 (no-rescore
+        # recall ceilinged ~0.94 on query noise,
+        # benchmarks/r4_campaigns.md). One extra int8 MXU pass on a path
+        # far from compute-bound.
+        compute = "sym" if rescore == "db" else "sym2"
         shortlist = (
             min(
                 max(int(self.shortlist_mult * k_eff), CAPACITY),
@@ -996,7 +1012,7 @@ class IVFIndex:
         # measured wall behind the 5.5k q/s high-recall plateau
         # (scripts/profile_ivf_union.py).
         qb = self.QUERY_BLOCK
-        return k_eff, nprobe, rescore, shortlist, qb
+        return k_eff, nprobe, rescore, shortlist, qb, compute
 
     def _row_sq_arg(self) -> jnp.ndarray:
         """The l2 additive term for the union-scan buffer; a [0, CAPACITY]

@@ -83,6 +83,13 @@ def main():
         r = im._route_sims(x, cents, "cosine")
         return jax.lax.top_k(r, NPROBE)[1]
 
+    def route_approx(x, cents):
+        # PartialReduce top-k: the TPU-native approximate selection —
+        # candidate replacement for the routing top_k (probe sets only
+        # need to be good, not exact)
+        r = im._route_sims(x, cents, "cosine")
+        return jax.lax.approx_max_k(r, NPROBE)[1]
+
     sel0 = jax.block_until_ready(jax.jit(route)(q, centroids))
 
     def probed_topk(sel):
@@ -112,12 +119,29 @@ def main():
             int8_min_rows=im.IVFIndex.INT8_UNION_MIN_ROWS,
         )[1]
 
+    from knn_for_homology_tpu.ops.ivf_pallas import ivf_union_topk
+
+    def indirect_scan(x, pv, pi, sc, cs):
+        # the r5 gather-free path at the operating point (quantisation of
+        # x happens inside, matching the production call)
+        return ivf_union_topk(pv, sc, pi, cs, x, SHORTLIST)[1]
+
+    def indirect_scan_k1000(x, pv, pi, sc, cs):
+        return ivf_union_topk(
+            pv, sc, pi, cs, x, 1000, recall_target=0.98
+        )[1]
+
     variants = {
         "route": (route, q, (centroids,)),
+        "route_approx": (route_approx, q, (centroids,)),
         "probed_topk": (probed_topk, sel0, ()),
         "gather8": (gather8, cells_sel, (pv, pi, sc)),
         "scan": (scan, q_aug, (buf8, b_scales)),
         "scan_k1000": (scan_k1000, q_aug, (buf8, b_scales)),
+        "indirect_scan": (indirect_scan, q, (pv, pi, sc, cells_sel)),
+        "indirect_scan_k1000": (
+            indirect_scan_k1000, q, (pv, pi, sc, cells_sel)
+        ),
         "full": (
             lambda x, *a: full(x, *a, db0, False), q,
             (centroids, pv, pi, sc),

@@ -292,6 +292,39 @@ def test_sq8_sym_storage_matches_and_scales_values():
     np.testing.assert_allclose(np.asarray(vals), true_vals, atol=5e-2)
 
 
+def test_sq8_sym2_residual_pass_tightens_values():
+    """storage="sq8-sym2" (two-level query quantisation) must return
+    values within the residual floor (~1e-4 relative) of the FLOAT-query
+    × dequantised-row scores — an order tighter than one-pass sym's
+    ~0.4 % query noise — at equal-or-better recall."""
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from knn_for_homology_tpu.ops.exact_pallas import packed_pallas_topk
+    from knn_for_homology_tpu.ops.graph_pallas import quantize_int8
+
+    key = jax.random.PRNGKey(3)
+    db = l2_normalize(jax.random.normal(key, (4096, 256), jnp.float32))
+    q = db[:128] * jnp.linspace(0.5, 3.0, 128)[:, None]
+    k = 100
+    vals, ids = packed_pallas_topk(
+        db, q, k, metric="ip", storage="sq8-sym2", recall_target=0.98
+    )
+    ids_np = np.asarray(ids)
+    # storage floor reference: float query x dequantised int8 rows
+    db8, dsc = quantize_int8(db)
+    deq = np.asarray(db8, np.float32) * np.asarray(dsc)[:, None]
+    sims_floor = np.asarray(q, np.float32) @ deq.T
+    got = np.take_along_axis(sims_floor, ids_np, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), got, rtol=3e-4, atol=3e-4)
+    _, exact_ids = jax.lax.top_k(q @ db.T, k)
+    rec = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(ids_np, np.asarray(exact_ids))
+        ]
+    )
+    assert rec >= 0.97, rec
+
+
 def test_sq8_sym_l2_falls_back_to_asymmetric():
     # l2 cannot fold the query scale into the epilogue; the sym request
     # must still return correct l2 neighbours (via the asymmetric kernel)

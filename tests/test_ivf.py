@@ -384,7 +384,7 @@ def test_ivf_chunked_rescore_matches_unchunked(lean, monkeypatch):
     index = IVFIndex(
         metric="cosine", nprobe=8, rescore_max_k=64, store_fp32=not lean
     ).add(db)
-    k_eff, nprobe, rescore, shortlist, _ = index.plan_blocks(32)
+    k_eff, nprobe, rescore, shortlist, _, _ = index.plan_blocks(32)
     assert rescore == ("slab" if lean else "db")
     monkeypatch.setattr(ivf_mod, "_MATMUL_RESCORE_BUF_MAX", 0)
     vals_1, ids_1 = index._union_scan_block(
@@ -410,7 +410,7 @@ def test_ivf_matmul_rescore_matches_row_gather(metric, monkeypatch):
     db = _clustered(2048, 128, 32, seed=7)
     q = jnp.asarray(db[:64])
     index = IVFIndex(metric=metric, nprobe=8, rescore_max_k=64).add(db)
-    k_eff, nprobe, rescore, shortlist, _ = index.plan_blocks(32)
+    k_eff, nprobe, rescore, shortlist, _, _ = index.plan_blocks(32)
     assert rescore == "db"
     vals_m, ids_m = index._union_scan_block(
         q, k_eff, nprobe, shortlist, rescore
