@@ -243,20 +243,39 @@ def _balanced_members(order2, n_clusters: int, capacity: int):
     return members_flat[: c * capacity].reshape(c, capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "nprobe"))
-def _block_union_counts(q_blocks, centroids, metric: str, nprobe: int):
-    """[B] distinct-probed-cell counts, one per query block — computed for
-    ALL blocks in one device call so the union-scan loop needs ONE host
-    sync total instead of one per block (each scalar fetch through the
-    axon relay costs tens of ms; at 8 blocks per search call the syncs
-    rivalled the scan itself)."""
+def _route_topk(sims, nprobe: int, approx: bool):
+    """Top-nprobe cell selection. `approx` uses the TPU PartialReduce op
+    (jax.lax.approx_max_k) — measured 2-3× cheaper than the exact sort-
+    based top_k at nprobe=256 over 16k cells, and probe sets only need to
+    be good, not exact (a swapped marginal probe perturbs recall ~like
+    the routing matmul's bf16 noise already does). recall_target 0.99
+    per element keeps the perturbation below the index-level targets."""
+    if approx and nprobe < sims.shape[-1]:
+        return jax.lax.approx_max_k(sims, nprobe, recall_target=0.99)[1]
+    return jax.lax.top_k(sims, nprobe)[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "nprobe", "route_approx")
+)
+def _block_union_counts(
+    q_blocks, centroids, metric: str, nprobe: int, route_approx: bool = False
+):
+    """([B] distinct-probed-cell counts, [B, qb, nprobe] probe selections)
+    — computed for ALL blocks in one device call so the union-scan loop
+    needs ONE host sync total instead of one per block (each scalar fetch
+    through the axon relay costs tens of ms; at 8 blocks per search call
+    the syncs rivalled the scan itself). The selections are returned so
+    the scan pass reuses them instead of routing a second time (the
+    routing pass was half the remaining per-block cost once the union
+    gather was fused away, scripts/profile_ivf_union.py r5)."""
     c = centroids.shape[0]
 
     def one(q):
         route = _route_sims(q, centroids, metric)
-        _, sel = jax.lax.top_k(route, nprobe)
+        sel = _route_topk(route, nprobe, route_approx).astype(jnp.int32)
         probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
-        return jnp.sum(probed)
+        return jnp.sum(probed), sel
 
     # lax.map, not vmap: vmap materialises every block's [qb, C] routing
     # matrix at once — 4.3 GB at 65k queries x 16k cells, an HBM OOM
@@ -441,7 +460,7 @@ def _union_rescore_matmul(db, q, pi, cells_sel, pos, ids, metric: str):
 def _union_scan_one(
     q, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
-    compute="sym", sel=None,
+    compute="sym", route_approx=False, sel=None,
 ):
     """One query block through the batched union scan (traceable; static
     `budget` cells). See IVFIndex docstring for the path's rationale.
@@ -459,18 +478,25 @@ def _union_scan_one(
     d = db.shape[1]
     if sel is None:
         route = _route_sims(q, centroids, metric)
-        _, sel = jax.lax.top_k(route, nprobe)
+        sel = _route_topk(route, nprobe, route_approx)
     # cells ranked by POPULARITY (how many of the block's queries probe
     # them): with a host-sized budget (>= the true union) this selects
     # exactly the probed cells, same as a bitmap; with a caller-fixed
     # budget smaller than the union (the traced/sharded fast path) the
-    # dropped cells are the least-probed ones — graceful recall decay.
+    # dropped cells are the least-popular ones — graceful recall decay.
     # The tail of the budget window may carry unprobed cells — scanning
-    # them only ADDS true candidates.
+    # them only ADDS true candidates. Counts are exact in f32 (<= 2^24),
+    # so the approx selection can only shuffle equal-count ties plus its
+    # own ~1% per-element loss — covered by the same argument.
     probed = jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].add(1)
-    cells_sel = jax.lax.top_k(probed, budget)[1] if budget < c else (
-        jnp.arange(c, dtype=jnp.int32)
-    )
+    if budget >= c:
+        cells_sel = jnp.arange(c, dtype=jnp.int32)
+    elif route_approx:
+        cells_sel = jax.lax.approx_max_k(
+            probed.astype(jnp.float32), budget, recall_target=0.99
+        )[1].astype(jnp.int32)
+    else:
+        cells_sel = jax.lax.top_k(probed, budget)[1]
     q32 = q.astype(jnp.float32)
     if pv.shape[1] != q32.shape[1]:
         # slabs are lane-padded to a 128 multiple at pack time; zero query
@@ -546,13 +572,13 @@ def _union_scan_one(
     jax.jit,
     static_argnames=(
         "metric", "k_eff", "nprobe", "shortlist", "rescore", "budget",
-        "int8_min_rows", "compute",
+        "int8_min_rows", "compute", "route_approx",
     ),
 )
 def _union_scan_stacked(
-    q_blocks, centroids, pv, pi, sc, row_sq, db, slot, *,
+    q_blocks, sel_blocks, centroids, pv, pi, sc, row_sq, db, slot, *,
     metric, k_eff, nprobe, shortlist, rescore, budget, int8_min_rows,
-    compute="sym",
+    compute="sym", route_approx=False,
 ):
     """All same-budget query blocks in ONE device call: a lax.scan over
     [G, qb, d] stacked blocks, each through _union_scan_one. The per-block
@@ -560,17 +586,23 @@ def _union_scan_stacked(
     gather, scan, rescore, ... each a separate device call); a 131k-query
     search now issues one dispatch per DISTINCT gather budget (a handful
     of powers of two) — the fix for the measured call-overhead-bound
-    12-21k q/s plateau at 4096-query blocks (scripts/bench_ivf.py)."""
+    12-21k q/s plateau at 4096-query blocks (scripts/bench_ivf.py).
 
-    def body(_, q):
+    `sel_blocks` [G, qb, nprobe] carries the budget-sizing pass's probe
+    selections so the scan does not route a second time (None → route
+    in-scan, the traced/static-budget path)."""
+
+    def body(_, xs):
+        q, sel = xs if sel_blocks is not None else (xs, None)
         return None, _union_scan_one(
             q, centroids, pv, pi, sc, row_sq, db, slot,
             metric=metric, k_eff=k_eff, nprobe=nprobe, shortlist=shortlist,
             rescore=rescore, budget=budget, int8_min_rows=int8_min_rows,
-            compute=compute,
+            compute=compute, route_approx=route_approx, sel=sel,
         )
 
-    _, (vals, ids) = jax.lax.scan(body, None, q_blocks)
+    xs = q_blocks if sel_blocks is None else (q_blocks, sel_blocks)
+    _, (vals, ids) = jax.lax.scan(body, None, xs)
     return vals, ids
 
 
@@ -611,6 +643,11 @@ class IVFIndex:
     # blocks at least this big take the union-scan path (below it the
     # union is sparse and the per-probe DMA kernel wins)
     UNION_MIN_Q = 512
+    # approximate routing/cell selection (jax.lax.approx_max_k, the TPU
+    # PartialReduce op) — 2-3× cheaper than exact top_k on the routing
+    # pass; None = auto (on for the TPU backend, off elsewhere so CPU
+    # parity tests and sharded goldens stay exact)
+    ROUTE_APPROX = None
     # budget/nprobe ratio above which the per-probe DMA path beats the
     # union scan even for BIG batches: the union scan's compute per query
     # is budget·128·d bf16 MACs (MXU, ~197 TF/s) while the DMA path's
@@ -791,14 +828,15 @@ class IVFIndex:
                 else q_all
             )
             q_blocks = q_pad.reshape(n_blocks, qb, -1)
+            sel_blocks = None
             if union_budget is not None:
                 budgets = [min(int(union_budget), c)] * n_blocks
             else:
-                u_vec = np.asarray(
-                    _block_union_counts(
-                        q_blocks, self._centroids, self.metric, nprobe,
-                    )
+                u_dev, sel_blocks = _block_union_counts(
+                    q_blocks, self._centroids, self.metric, nprobe,
+                    route_approx=self._route_approx(),
                 )
+                u_vec = np.asarray(u_dev)
                 budgets = [
                     min(1 << max(int(u) - 1, 0).bit_length(), c)
                     for u in u_vec
@@ -838,19 +876,26 @@ class IVFIndex:
                 while start < len(idxs):
                     g = 1 << (len(idxs) - start).bit_length() - 1
                     chunk = idxs[start : start + g]
-                    stack = (
-                        q_blocks
-                        if len(chunk) == n_blocks
-                        else q_blocks[jnp.asarray(chunk, dtype=jnp.int32)]
+                    whole = len(chunk) == n_blocks
+                    take = (
+                        None if whole
+                        else jnp.asarray(chunk, dtype=jnp.int32)
+                    )
+                    stack = q_blocks if whole else q_blocks[take]
+                    sel_stack = (
+                        None if sel_blocks is None
+                        else sel_blocks if whole
+                        else sel_blocks[take]
                     )
                     vals, ids = _union_scan_stacked(
-                        stack, self._centroids, pv, pi, sc, row_sq,
-                        self._db_arg(), self._slot_arg(),
+                        stack, sel_stack, self._centroids, pv, pi, sc,
+                        row_sq, self._db_arg(), self._slot_arg(),
                         metric=self.metric, k_eff=k_eff,
                         nprobe=nprobe, shortlist=shortlist,
                         rescore=rescore, budget=b,
                         int8_min_rows=self.INT8_UNION_MIN_ROWS,
                         compute=compute,
+                        route_approx=self._route_approx(),
                     )
                     for j, bi in enumerate(chunk):
                         out_v[bi] = vals[j]
@@ -863,7 +908,9 @@ class IVFIndex:
         for start in range(0, q_all.shape[0], qb):
             q = q_all[start : start + qb]
             route = _route_sims(q, self._centroids, self.metric)
-            _, sel = jax.lax.top_k(route, nprobe)  # [q, nprobe]
+            sel = _route_topk(
+                route, nprobe, self._route_approx()
+            )  # [q, nprobe]
             q_sq = (
                 jnp.sum(jnp.square(q), axis=-1)
                 if self.metric == "l2"
@@ -939,7 +986,7 @@ class IVFIndex:
         sel = None
         if budget is None:
             route = _route_sims(q, self._centroids, self.metric)
-            _, sel = jax.lax.top_k(route, nprobe)
+            sel = _route_topk(route, nprobe, self._route_approx())
             probed = (
                 jnp.zeros((c,), jnp.int32).at[sel.reshape(-1)].set(1)
             )
@@ -951,7 +998,7 @@ class IVFIndex:
             k_eff=k_eff, nprobe=nprobe,
             shortlist=shortlist, rescore=rescore, budget=budget,
             int8_min_rows=self.INT8_UNION_MIN_ROWS, compute=compute,
-            sel=sel,
+            route_approx=self._route_approx(), sel=sel,
         )
 
     def plan_blocks(self, k: int):
@@ -1013,6 +1060,11 @@ class IVFIndex:
         # (scripts/profile_ivf_union.py).
         qb = self.QUERY_BLOCK
         return k_eff, nprobe, rescore, shortlist, qb, compute
+
+    def _route_approx(self) -> bool:
+        if self.ROUTE_APPROX is not None:
+            return bool(self.ROUTE_APPROX)
+        return jax.default_backend() == "tpu"
 
     def _row_sq_arg(self) -> jnp.ndarray:
         """The l2 additive term for the union-scan buffer; a [0, CAPACITY]

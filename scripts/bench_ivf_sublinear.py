@@ -123,6 +123,16 @@ def main():
                 lambda k=k: packed_pallas_topk(sq8, queries, k, metric="ip")[1],
                 "flat-sq8-sym", k,
             )
+            # the flat engine's high-recall operating point (two-level
+            # query quantisation, VERDICT r4 #4) — the 0.99-class line the
+            # IVF frontier must be judged against
+            timed(
+                lambda k=k: packed_pallas_topk(
+                    sq8, queries, k, metric="ip", storage="sq8-sym2",
+                    recall_target=0.995,
+                )[1],
+                "flat-sq8-sym2-rt995", k,
+            )
 
     # ---- IVF grouped union-scan (lean layout: int8 slabs only — the
     # production memory point, and it frees 4 GB of HBM for the scan) ----

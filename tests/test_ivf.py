@@ -240,7 +240,7 @@ def test_ivf_grouped_scan_matches_per_block_fallback():
     nprobe = min(max(index.nprobe, -(-2 * 10 // CAPACITY)), c)
     q_blocks = jnp.asarray(queries).reshape(-1, qb, queries.shape[1])
     u_vec = np.asarray(
-        _block_union_counts(q_blocks, index._centroids, "cosine", nprobe)
+        _block_union_counts(q_blocks, index._centroids, "cosine", nprobe)[0]
     )
     shortlist = min(max(4 * 10, CAPACITY), nprobe * CAPACITY)
     for bi, u in enumerate(u_vec):
