@@ -69,7 +69,22 @@ def pack_neighbours(
     `graph` has one row per slab GROUP — the db adjacency for the graph
     engine (G == N), or any other db-row grouping (the IVF engine passes
     cluster membership lists, G == n_clusters, search/ivf.py)."""
-    n, d = db.shape
+    q8, scales = quantize_int8(db)
+    return pack_neighbours_prequant(q8, scales, graph, deg_p)
+
+
+@functools.partial(jax.jit, static_argnames=("deg_p",), donate_argnums=())
+def pack_neighbours_prequant(
+    q8: jnp.ndarray,  # [N, d] int8 (already per-row quantised)
+    scales: jnp.ndarray,  # [N] f32 dequant scales
+    graph: jnp.ndarray,  # [G, degree] int32
+    deg_p: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """pack_neighbours from an already-quantised source: the streamed lean
+    IVF build (search/ivf.py add_chunks) quantises chunk by chunk because
+    the fp32 rows never fit HBM all at once; the slab gather then reads
+    int8 — a quarter of the fp32 gather bytes."""
+    n, d = q8.shape
     groups, degree = graph.shape
     if deg_p > LANE:
         raise ValueError(
@@ -77,7 +92,6 @@ def pack_neighbours(
             f"ids/scales are one {LANE}-lane row per node) — use the XLA "
             "beam path (GraphIndex(packed='never'))"
         )
-    q8, scales = quantize_int8(db)
     pad_ids = jnp.full((groups, deg_p - degree), -1, jnp.int32)
     ids_p = jnp.concatenate([graph.astype(jnp.int32), pad_ids], axis=1)
     safe = jnp.clip(ids_p, 0, n - 1)

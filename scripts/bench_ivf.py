@@ -19,6 +19,7 @@ One JSON line per measurement.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -57,6 +58,37 @@ def make_clustered(key, n, d, clusters, noise=0.5):
     db = l2_normalize(x)
     jax.block_until_ready(db)
     return db
+
+
+def make_clustered_chunks(key, n, d, clusters, chunk, noise=0.5):
+    """Chunked twin of make_clustered for corpora whose fp32 rows exceed
+    HBM (n=2^22 x d=1024 fp32 = 16 GB): returns a zero-arg callable
+    yielding [chunk, d] device arrays — the IVFIndex.add_chunks contract.
+    Chunk i is generated from fold_in(key, i), so every invocation
+    yields identical data (the streamed build passes over it twice and
+    the benchmark regenerates queries/baseline slices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from knn_for_homology_tpu.ops.distance import l2_normalize
+
+    kc, kd = jax.random.split(key)
+    centers = l2_normalize(jax.random.normal(kc, (clusters, d), jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def one(i, rows):
+        ka, kn = jax.random.split(jax.random.fold_in(kd, i))
+        assign = jax.random.randint(ka, (rows,), 0, clusters)
+        x = centers[assign] + (noise / np.sqrt(d)) * jax.random.normal(
+            kn, (rows, d), jnp.float32
+        )
+        return l2_normalize(x)
+
+    def chunks():
+        for i, s in enumerate(range(0, n, chunk)):
+            yield one(i, min(chunk, n - s))
+
+    return chunks
 
 
 def main():

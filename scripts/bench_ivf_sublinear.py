@@ -63,6 +63,11 @@ def main():
     )
     p.add_argument("--rescore-max-k", type=int, default=None)
     p.add_argument("--shortlist-mult", type=float, default=4.0)
+    p.add_argument(
+        "--dma-ratio", type=int, default=0,
+        help="override IVFIndex.DMA_OVER_UNION_RATIO (e.g. a huge value"
+        " forces the union scan; 0 keeps the class default)",
+    )
     args = p.parse_args()
 
     import jax
@@ -155,6 +160,8 @@ def main():
     del db
     if args.qb:
         index.QUERY_BLOCK = args.qb
+    if args.dma_ratio:
+        index.DMA_OVER_UNION_RATIO = args.dma_ratio
 
     # route-locality sort once, outside the timed region: production
     # callers search family-ordered corpora (and IVFIndex re-sorts

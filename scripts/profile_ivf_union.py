@@ -41,11 +41,19 @@ QB, NPROBE, SHORTLIST, BUDGET = 256, 256, 1500, 2048
 
 def main():
     global QB, BUDGET
+    global NPROBE, SHORTLIST
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=int, default=BUDGET)
     ap.add_argument("--qb", type=int, default=QB)
+    ap.add_argument("--nprobe", type=int, default=NPROBE)
+    ap.add_argument("--shortlist", type=int, default=SHORTLIST)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="subset of piece names to measure",
+    )
     args = ap.parse_args()
     QB, BUDGET = args.qb, args.budget
+    NPROBE, SHORTLIST = args.nprobe, args.shortlist
     import jax
     import jax.numpy as jnp
 
@@ -131,6 +139,30 @@ def main():
             pv, sc, pi, cs, x, 1000, recall_target=0.98
         )[1]
 
+    def indirect_sym2_k1000(x, pv, pi, sc, cs):
+        # the r5 lean high-recall operating point (no rescore pass)
+        return ivf_union_topk(
+            pv, sc, pi, cs, x, 1000, recall_target=0.995, compute="sym2",
+        )[1]
+
+    def flat_sym2_k1000(x, pv, b_scales):
+        # efficiency ceiling for the full-table budget: the flat packed
+        # sym2 kernel streaming the SAME slab matrix without indirection
+        return packed_pallas_topk(
+            SQ8Database(pv, b_scales, pv.shape[0]), x, 1000,
+            metric="ip", recall_target=0.995, storage="sq8-sym2",
+        )[1]
+
+    def block_counts(x, cents):
+        return im._block_union_counts(
+            x.reshape(1, QB, D), cents, "cosine", NPROBE,
+            route_approx=True,
+        )[0]
+
+    def top1_sort(x, cents):
+        top1 = im._route_prefs(x, cents, "cosine", 1)
+        return jnp.argsort(top1[:, 0])
+
     variants = {
         "route": (route, q, (centroids,)),
         "route_approx": (route_approx, q, (centroids,)),
@@ -142,6 +174,14 @@ def main():
         "indirect_scan_k1000": (
             indirect_scan_k1000, q, (pv, pi, sc, cells_sel)
         ),
+        "indirect_sym2_k1000": (
+            indirect_sym2_k1000, q, (pv, pi, sc, cells_sel)
+        ),
+        "flat_sym2_k1000": (
+            flat_sym2_k1000, q, (pv, sc.reshape(-1))
+        ),
+        "block_counts": (block_counts, q, (centroids,)),
+        "top1_sort": (top1_sort, q, (centroids,)),
         "full": (
             lambda x, *a: full(x, *a, db0, False), q,
             (centroids, pv, pi, sc),

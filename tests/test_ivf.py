@@ -426,3 +426,67 @@ def test_ivf_matmul_rescore_matches_row_gather(metric, monkeypatch):
     diff = ids_m != ids_g
     assert diff.mean() < 0.01, diff.mean()
     np.testing.assert_allclose(vals_m[diff], vals_g[diff], atol=2e-5)
+
+
+def test_ivf_streamed_build_matches_lean_inmemory():
+    """add_chunks with one whole-corpus chunk and stride-1 sampling
+    (kmeans_sample >= n) runs the exact same device ops as the in-memory
+    lean add(): bit-identical slabs, members, and search results. (With
+    MULTIPLE chunks the per-chunk routing matmuls tile differently and
+    near-tie preferences may flip — covered by the recall test below.)"""
+    db = _clustered(2048, 96, 32, seed=11)
+    ref = IVFIndex(metric="cosine", nprobe=8, store_fp32=False).add(db)
+
+    idx = IVFIndex(metric="cosine", nprobe=8, store_fp32=False).add_chunks(
+        lambda: [db], n_total=2048, kmeans_sample=4096
+    )
+    pv_i, pi_i, sc_i = (np.asarray(a) for a in idx._packed)
+    pv_r, pi_r, sc_r = (np.asarray(a) for a in ref._packed)
+    np.testing.assert_array_equal(pv_i, pv_r)
+    np.testing.assert_array_equal(pi_i, pi_r)
+    # scales may differ 1 ulp: quantize_int8 fuses into the pack jit on
+    # the in-memory path but runs standalone per chunk on the streamed one
+    np.testing.assert_allclose(sc_i, sc_r, rtol=3e-7)
+    np.testing.assert_array_equal(
+        np.asarray(idx._members), np.asarray(ref._members)
+    )
+    s_i, i_i = idx.search(db[:64], 10)
+    s_r, i_r = ref.search(db[:64], 10)
+    np.testing.assert_array_equal(i_i, i_r)
+    np.testing.assert_allclose(s_i, s_r, rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_streamed_build_subsampled_kmeans_recall():
+    """The production setting (kmeans on a strided subsample, uneven tail
+    chunk, l2 metric exercises the row_sq path) still recalls."""
+    db = _clustered(2048, 96, 32, seed=13, scale=0.45)
+
+    def chunks():
+        yield db[:900]
+        yield db[900:1800]
+        yield db[1800:]
+
+    # scale=0.45: resolvable top-10 gaps — the tight scale=0.08 default
+    # makes within-cluster sims near-ties BELOW the int8 storage noise, a
+    # known lean-mode floor (any lean/no-rescore index recalls ~0.6 there,
+    # fp32 rescore or not streamed alike)
+    idx = IVFIndex(metric="l2", nprobe=8, store_fp32=False).add_chunks(
+        chunks, n_total=2048, kmeans_sample=512
+    )
+    _, ids = idx.search(db[:128], 10)
+    _, exact_ids = flat_topk(
+        jnp.asarray(db), jnp.asarray(db[:128]), 10, metric="l2"
+    )
+    exact_ids = np.asarray(exact_ids)
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, exact_ids)
+    ])
+    assert rec >= 0.9, rec
+    # errors surfaced: wrong n_total, double-build, fp32 mode
+    with pytest.raises(ValueError, match="yielded"):
+        IVFIndex(store_fp32=False).add_chunks(chunks, n_total=99)
+    with pytest.raises(ValueError, match="store_fp32"):
+        IVFIndex().add_chunks(chunks, n_total=2048)
+    with pytest.raises(ValueError, match="already"):
+        idx.add_chunks(chunks, n_total=2048)
