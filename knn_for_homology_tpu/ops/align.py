@@ -354,31 +354,101 @@ def align_hits(
             row_seq, lane_seq = (t, q) if len(t) > len(q) else (q, t)
             groups.setdefault(row_seq, []).append((lane_seq, qi, pos))
 
-    # rows: (row_seq, [(lane_seq, qi, pos)]) per k_lanes chunk of the
-    # length-sorted group, cellled by the (Lq, Lt) bucket grid
+    from .align_pallas import (
+        MAX_LT_K_HBM, MAX_SEGMENTS, sw_scores_grouped_pallas,
+    )
+
+    # rows: (row_seq, [lane, ...]) with each lane a LIST of
+    # (lane_seq, qi, pos) segments, celled by (Lq, Lt, S) on the bucket
+    # grid. Classic packing (one target per lane, S=1) chunks the
+    # length-sorted group by k_lanes; RAGGED packing (r5) first-fit-
+    # decreasing-packs a whole group's targets into shared lanes with -1
+    # separators, which collapses the per-chunk max-length padding AND
+    # the partial tail chunk — the 1.84× pad factor's two components
+    # (simulated 1.74 → 1.17 on the anchor mix). Ragged rows require the
+    # segmented Pallas kernel, so groups are only ragged-packed when the
+    # resulting cell is Pallas-eligible; the per-group choice is by
+    # padded-cost comparison, so packing never regresses.
+    ragged_ok = k_lanes % 128 == 0
+    cap_max = (MAX_LT_K_HBM // k_lanes) // bucket * bucket
+
+    def ffd_pack(entries_desc, cap):
+        """First-fit-decreasing into lanes of `cap` residues (+1
+        separator per target, MAX_SEGMENTS per lane)."""
+        lanes_out, loads = [], []
+        for e in entries_desc:
+            need = len(e[0]) + 1
+            for i in range(len(lanes_out)):
+                if loads[i] + need <= cap and len(lanes_out[i]) < MAX_SEGMENTS:
+                    lanes_out[i].append(e)
+                    loads[i] += need
+                    break
+            else:
+                lanes_out.append([e])
+                loads.append(len(e[0]))
+        return lanes_out
+
     cells: dict = {}
-    for row_seq, lanes in groups.items():
-        lanes.sort(key=lambda x: len(x[0]))
-        lq_b = pad_len(len(row_seq))
+
+    def emit_classic(row_seq, lanes, lq_b):
         for start in range(0, len(lanes), k_lanes):
             chunk = lanes[start : start + k_lanes]
             lt_b = pad_len(len(chunk[-1][0]))
-            cells.setdefault((lq_b, lt_b), []).append((row_seq, chunk))
+            cells.setdefault((lq_b, lt_b, 1), []).append(
+                (row_seq, [[e] for e in chunk])
+            )
+
+    for row_seq, lanes in groups.items():
+        lanes.sort(key=lambda x: len(x[0]))
+        lq_b = pad_len(len(row_seq))
+        classic_cost = sum(
+            pad_len(len(lanes[min(s + k_lanes, len(lanes)) - 1][0]))
+            for s in range(0, len(lanes), k_lanes)
+        )
+        best = None
+        if ragged_ok and lq_b <= (1 << 17) // 8 and len(lanes) > 1:
+            m_len = len(lanes[-1][0])
+            tot = sum(len(e[0]) + 1 for e in lanes)
+            max_rows = -(-len(lanes) // k_lanes)
+            for r in range(1, max_rows + 1):
+                cap = pad_len(max(m_len, -(-tot // (r * k_lanes))))
+                if cap > cap_max:
+                    continue
+                packed = ffd_pack(lanes[::-1], cap)
+                cost = -(-len(packed) // k_lanes) * cap
+                if best is None or cost < best[0]:
+                    best = (cost, cap, packed)
+        if best is not None and best[0] < classic_cost:
+            _, cap, packed = best
+            for start in range(0, len(packed), k_lanes):
+                row_lanes = packed[start : start + k_lanes]
+                s_max = max(len(ln) for ln in row_lanes)
+                s_b = 1 << (s_max - 1).bit_length() if s_max > 1 else 1
+                cells.setdefault((lq_b, cap, s_b), []).append(
+                    (row_seq, row_lanes)
+                )
+        else:
+            emit_classic(row_seq, lanes, lq_b)
 
     scores = [
         np.zeros(len(row), dtype=np.float32) for row in hits
     ]
-    from .align_pallas import MAX_LT_K_HBM, sw_scores_grouped_pallas
 
     # phase 1: dispatch every block and keep device arrays — fetching
     # each block's [g, K] output eagerly costs one relay round-trip
     # (~60 ms here) PER BLOCK; deferring turns that into ONE sync
-    pending = []  # (device out, block) in dispatch order
-    for (lq_b, lt_b), rows in sorted(cells.items()):
+    pending = []  # (device out, block, segments) in dispatch order
+    for (lq_b, lt_b, s_b), rows in sorted(cells.items()):
         # the grid is free-form, so chunks need no fixed size: cap by the
         # SMEM row-code budget (g·Lq int32 ≤ 512 KB) and round only the
         # TAIL chunk up to a power of two (bounded compile variety)
         g_max = max(8, min(g_block, (1 << 17) // lq_b))
+        # prefix-max sweeps only need to span the longest single target;
+        # pow2 rounding keeps one compiled program per sweep count
+        max_seg = max(
+            len(e[0]) for _, lns in rows for ln in lns for e in ln
+        )
+        sweep = 1 << max(max_seg - 1, 0).bit_length()
         for start in range(0, len(rows), g_max):
             block = rows[start : start + g_max]
             g = len(block)
@@ -389,17 +459,24 @@ def align_hits(
             t_codes = np.full(
                 (g_pad, k_lanes, lt_b), -1, dtype=np.int32
             )
-            for r, (row_seq, chunk) in enumerate(block):
+            for r, (row_seq, row_lanes) in enumerate(block):
                 q_codes[r] = encode_sequence(row_seq, lq_b)
-                for l, (lane_seq, _, _) in enumerate(chunk):
-                    t_codes[r, l] = encode_sequence(lane_seq, lt_b)
+                for l, lane in enumerate(row_lanes):
+                    pos = 0
+                    for (lane_seq, _, _) in lane:
+                        ll = len(lane_seq)
+                        t_codes[r, l, pos : pos + ll] = encode_sequence(
+                            lane_seq, ll
+                        )
+                        pos += ll + 1  # -1 separator stays from the fill
             # Pallas DP whenever the cell's LANE axis fits the HBM-profile
             # budget (resident kernel below MAX_LT_K, per-row plane DMA
             # above it) — ~13-60× the XLA scan and ~1.5 s per fresh shape
-            # instead of ~85 s; only K>786k/lanes cells fall back. The
+            # instead of ~85 s; only K>589k/lanes cells fall back. The
             # g_pad·lq_b term re-checks the SMEM q-code budget: g_max's
             # floor of 8 rows can exceed it for titin-class rows
-            # (lq_b > 16384), which must take the XLA path (ADVICE r4)
+            # (lq_b > 16384), which must take the XLA path (ADVICE r4).
+            # Ragged cells (s_b > 1) are Pallas-eligible by construction.
             if (
                 k_lanes % 128 == 0
                 and lt_b * k_lanes <= MAX_LT_K_HBM
@@ -407,23 +484,28 @@ def align_hits(
             ):
                 out = sw_scores_grouped_pallas(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
-                    convention=convention,
+                    convention=convention, segments=s_b,
+                    max_seg_len=sweep if s_b > 1 else None,
                 )
             else:
+                assert s_b == 1, "ragged cells are Pallas-only"
                 out = sw_scores_grouped(
                     jnp.asarray(q_codes), jnp.asarray(t_codes),
                     convention=convention, unroll=unroll,
                     scan_chunk=scan_chunk,
                 )
-            pending.append((out, block))
+            pending.append((out, block, s_b))
 
     # phase 2: one fetch per block after all device work is queued (the
     # device serialises programs, so the fetches drain without stalls)
-    for out, block in pending:
+    for out, block, s_b in pending:
         out = np.asarray(out)
-        for r, (_, chunk) in enumerate(block):
-            for l, (_, qi, pos) in enumerate(chunk):
-                scores[qi][pos] = out[r, l]
+        for r, (_, row_lanes) in enumerate(block):
+            for l, lane in enumerate(row_lanes):
+                for s, (_, qi, pos) in enumerate(lane):
+                    scores[qi][pos] = (
+                        out[r, l] if s_b == 1 else out[r, s, l]
+                    )
     evs = []
     for qi, row in enumerate(hits):
         if len(row) == 0:

@@ -52,9 +52,16 @@ from .align import BLOSUM62, GAP_EXT, GAP_FIRST, NEG
 # (the (8, 128) tile rule binds only the last two dims)
 A_PAD = BLOSUM62.shape[0]
 MAX_LT_K = 1 << 16  # VMEM budget: profile 3 MB bf16 (×2 buffered) + state
-# the HBM-profile variant only keeps H/F (f32) + a double-buffered plane
-# (bf16) in VMEM: ~9·Lt·K bytes ≤ ~9 MB → covers Lt=2048 at K=384
-MAX_LT_K_HBM = 786432
+# the HBM-profile variant only keeps H/F/best (f32) + a double-buffered
+# plane (bf16) in VMEM: ~13·Lt·K bytes ≤ ~7.7 MB → covers Lt=2048 at K=256
+MAX_LT_K_HBM = 589824
+# segment-id offset for ragged lanes (multiple targets per lane, -1
+# separators): the segmented prefix max rides p + seg·SEG_BIG, which must
+# stay exact in f32 — SEG_BIG > any real |p| (score ≤ 11·lane_len ≤
+# 11·4608 < 2^17 at the MAX_LT_K_HBM cap; j·ext ≤ 4608) and
+# MAX_SEGMENTS·SEG_BIG + p < 2^24 (f32 exact-integer range)
+SEG_BIG = float(1 << 17)
+MAX_SEGMENTS = 63
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -74,10 +81,21 @@ def build_profile(t_codes: jnp.ndarray) -> jnp.ndarray:
     return profile.astype(jnp.bfloat16)
 
 
-def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first):
+def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first,
+             segoff=None, sweep_to=None):
     """One DP row against a VMEM-resident [Lt, K] substitution plane —
     shared by the resident-profile and HBM-profile kernels (identical
-    math to ops/align._dp_row; the two cannot drift)."""
+    math to ops/align._dp_row; the two cannot drift).
+
+    `segoff` (ragged lanes) carries seg_id·SEG_BIG per position: adding it
+    before the prefix-max sweeps and subtracting after makes the sweep a
+    SEGMENTED prefix max (an earlier segment's entries ride a smaller
+    offset, so they can never win inside a later segment — exact because
+    every quantity is an integer-valued f32 below 2^24). `sweep_to` then
+    bounds the sweeps at the longest segment instead of the lane width.
+    best_ref is [1, K] (running lane max) unsegmented, [Lt, K]
+    (per-position running max, segment-reduced after the row loop) ragged.
+    """
     # query-padding rows (qi < 0) knock out every position — same
     # where the XLA kernels apply on `sub`
     sub = jnp.where(qi < 0, jnp.float32(NEG), plane)
@@ -91,8 +109,10 @@ def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first):
     # prefix max over the target axis (log2(Lt) shift+max sweeps):
     # E[j] = max_{i<j} H0[i] + i·ext − (gap_first − ext) − j·ext
     p = h0 + j_idx * GAP_EXT
+    if segoff is not None:
+        p = p + segoff
     s = 1
-    while s < lt:
+    while s < (lt if sweep_to is None else sweep_to):
         shifted = jnp.concatenate(
             [jnp.full((s, k), NEG, jnp.float32), p[:-s]], axis=0
         )
@@ -102,16 +122,54 @@ def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first):
         [jnp.full((1, k), NEG, jnp.float32), p[:-1]], axis=0
     )
     e_new = pshift - (gap_first - GAP_EXT) - j_idx * GAP_EXT
+    if segoff is not None:
+        e_new = e_new - segoff
     h_new = jnp.maximum(h0, e_new)
-    best_ref[...] = jnp.maximum(
-        best_ref[...], jnp.max(h_new, axis=0, keepdims=True)
-    )
+    if segoff is None:
+        best_ref[...] = jnp.maximum(
+            best_ref[...], jnp.max(h_new, axis=0, keepdims=True)
+        )
+    else:
+        best_ref[...] = jnp.maximum(best_ref[...], h_new)
     h_ref[...] = h_new
     f_ref[...] = f_new
 
 
+def _seg_init(plane0, lt, k):
+    """[Lt, K] seg_id·SEG_BIG from residue-0 substitution plane: separator
+    and pad positions carry the NEG knockout in EVERY plane, so an
+    inclusive prefix COUNT of knockouts along the target axis numbers the
+    segments (the separator column itself joins the NEXT segment — its
+    prefix-max window is then empty, so no alignment can extend across).
+    Trailing pad positions keep incrementing but cap at MAX_SEGMENTS; they
+    are knocked out, so their (unread) output slots just hold 0."""
+    c = (plane0.astype(jnp.float32) <= jnp.float32(NEG / 2)).astype(
+        jnp.float32
+    )
+    s = 1
+    while s < lt:
+        shifted = jnp.concatenate(
+            [jnp.zeros((s, k), jnp.float32), c[:-s]], axis=0
+        )
+        c = c + shifted
+        s *= 2
+    return jnp.minimum(c, float(MAX_SEGMENTS)) * SEG_BIG
+
+
+def _seg_reduce(best, segoff, segments, k):
+    """[Lt, K] per-position best → [1, S, K] per-segment scores (SW best
+    is ≥ 0 by definition, so empty/absent segments read 0)."""
+    outs = []
+    for s_i in range(segments):
+        m = segoff == (s_i * SEG_BIG)
+        outs.append(
+            jnp.max(jnp.where(m, best, 0.0), axis=0, keepdims=True)
+        )
+    return jnp.stack(outs, axis=1)  # [1, S, K]
+
+
 def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
-               *, lq, lt, gap_first):
+               *, lq, lt, gap_first, segments=1, sweep_to=None):
     k = out_ref.shape[-1]
     # int iota → f32 cast (Mosaic's tpu.iota is integer-only)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (lt, k), 0).astype(
@@ -121,6 +179,10 @@ def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
     h_ref[...] = jnp.zeros((lt, k), jnp.float32)
     f_ref[...] = jnp.full((lt, k), NEG, jnp.float32)
     best_ref[...] = jnp.zeros_like(best_ref)
+    segoff = (
+        None if segments == 1
+        else _seg_init(profile_ref[0, 0], lt, k)
+    )
 
     g = pl.program_id(0)
 
@@ -129,21 +191,26 @@ def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
         safe = jnp.clip(qi, 0, A_PAD - 1)
         plane = profile_ref[0, safe].astype(jnp.float32)  # [Lt, K] VMEM
         _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k,
-                 gap_first)
+                 gap_first, segoff=segoff, sweep_to=sweep_to)
         return 0
 
     jax.lax.fori_loop(0, lq, row, 0)
-    out_ref[...] = best_ref[...].reshape(out_ref.shape)
+    if segments == 1:
+        out_ref[...] = best_ref[...].reshape(out_ref.shape)
+    else:
+        out_ref[...] = _seg_reduce(best_ref[...], segoff, segments, k)
 
 
 def _sw_kernel_hbm(q_ref, profile_hbm, out_ref, h_ref, f_ref, best_ref,
-                   plane_buf, psem, *, lq, lt, gap_first):
+                   plane_buf, psem, *, lq, lt, gap_first, segments=1,
+                   sweep_to=None):
     """Long-target variant: the profile stays in HBM; each row's residue
     plane is DMA'd into a double-buffered VMEM slot while the previous
     row computes. Per-row traffic is Lt·K·2 bytes against Lt·K DP cells
     of VPU work, so the stream hides under compute for every Lt this
     kernel accepts (the resident kernel stays the fast path at
-    Lt·K ≤ MAX_LT_K)."""
+    Lt·K ≤ MAX_LT_K). Ragged lanes (`segments` > 1) derive the segment
+    map from residue plane 0, DMA'd once before the row pipeline starts."""
     k = out_ref.shape[-1]
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (lt, k), 0).astype(
         jnp.float32
@@ -154,6 +221,15 @@ def _sw_kernel_hbm(q_ref, profile_hbm, out_ref, h_ref, f_ref, best_ref,
     best_ref[...] = jnp.zeros_like(best_ref)
 
     g = pl.program_id(0)
+
+    segoff = None
+    if segments > 1:
+        cp0 = pltpu.make_async_copy(
+            profile_hbm.at[g, 0], plane_buf.at[0], psem.at[0]
+        )
+        cp0.start()
+        cp0.wait()
+        segoff = _seg_init(plane_buf[0], lt, k)
 
     def plane_copy(slot, r):
         qi = q_ref[g, r]
@@ -176,24 +252,39 @@ def _sw_kernel_hbm(q_ref, profile_hbm, out_ref, h_ref, f_ref, best_ref,
 
         plane = plane_buf[slot].astype(jnp.float32)
         _dp_step(plane, q_ref[g, r], h_ref, f_ref, best_ref, j_idx, lt,
-                 k, gap_first)
+                 k, gap_first, segoff=segoff, sweep_to=sweep_to)
         return 0
 
     jax.lax.fori_loop(0, lq, row, 0)
-    out_ref[...] = best_ref[...].reshape(out_ref.shape)
+    if segments == 1:
+        out_ref[...] = best_ref[...].reshape(out_ref.shape)
+    else:
+        out_ref[...] = _seg_reduce(best_ref[...], segoff, segments, k)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("convention", "interpret")
+    jax.jit, static_argnames=("convention", "interpret", "segments",
+                              "max_seg_len")
 )
 def sw_scores_grouped_pallas(
     q_codes: jnp.ndarray,  # [G, Lq] int32, -1 padding
     t_codes: jnp.ndarray,  # [G, K, Lt] int32, -1 padding
     convention: str = "blast",
     interpret: bool = None,
+    segments: int = 1,
+    max_seg_len: int = None,
 ) -> jnp.ndarray:
     """Local-alignment scores [G, K] — bit-identical to
-    sw_scores_grouped, VMEM-resident DP (see module docstring)."""
+    sw_scores_grouped, VMEM-resident DP (see module docstring).
+
+    `segments` > 1 enables RAGGED LANES: each lane may hold several
+    targets back to back, separated by (at least) one -1 code; the
+    output is then [G, segments, K] with slot (g, s, k) scoring lane k's
+    (s+1)-th target (0 for absent segments). This collapses the per-group
+    lane-length padding that dominated the align anchor's 1.84× pad
+    factor (ops/align.align_hits packs with it). `max_seg_len` (static)
+    optionally bounds the prefix-max sweeps at the longest single target
+    instead of the lane width."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     gap_first = GAP_FIRST[convention]
@@ -207,6 +298,11 @@ def sw_scores_grouped_pallas(
         )
     if k_n % 128:
         raise ValueError("K must be a multiple of 128 (the lane width)")
+    if not 1 <= segments <= MAX_SEGMENTS:
+        raise ValueError(f"segments must be in [1, {MAX_SEGMENTS}]")
+    sweep_to = (
+        None if max_seg_len is None else min(max(max_seg_len, 1), lt)
+    )
     profile = build_profile(t_codes)
 
     # resident profile while it fits VMEM; HBM profile + per-row plane
@@ -215,21 +311,26 @@ def sw_scores_grouped_pallas(
     # ceiling there; the TPU-gated parity test covers the compiled HBM
     # path)
     hbm = (not interpret) and lt * k_n > MAX_LT_K
+    # best_ref: [1, K] running lane max classic, [Lt, K] per-position
+    # ragged (segment-reduced once after the row loop)
+    best_shape = (1, k_n) if segments == 1 else (lt, k_n)
     if hbm:
         kernel = functools.partial(
-            _sw_kernel_hbm, lq=lq, lt=lt, gap_first=float(gap_first)
+            _sw_kernel_hbm, lq=lq, lt=lt, gap_first=float(gap_first),
+            segments=segments, sweep_to=sweep_to,
         )
         profile_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [
             pltpu.VMEM((lt, k_n), jnp.float32),
             pltpu.VMEM((lt, k_n), jnp.float32),
-            pltpu.VMEM((1, k_n), jnp.float32),
+            pltpu.VMEM(best_shape, jnp.float32),
             pltpu.VMEM((2, lt, k_n), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = functools.partial(
-            _sw_kernel, lq=lq, lt=lt, gap_first=float(gap_first)
+            _sw_kernel, lq=lq, lt=lt, gap_first=float(gap_first),
+            segments=segments, sweep_to=sweep_to,
         )
         profile_spec = pl.BlockSpec(
             (1, A_PAD, lt, k_n), lambda g: (g, 0, 0, 0),
@@ -238,7 +339,7 @@ def sw_scores_grouped_pallas(
         scratch = [
             pltpu.VMEM((lt, k_n), jnp.float32),
             pltpu.VMEM((lt, k_n), jnp.float32),
-            pltpu.VMEM((1, k_n), jnp.float32),
+            pltpu.VMEM(best_shape, jnp.float32),
         ]
 
     out = pl.pallas_call(
@@ -250,12 +351,13 @@ def sw_scores_grouped_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             profile_spec,
         ],
-        # [G, 1, K] output: a (1, 1, K) block satisfies the (8, 128)
+        # [G, S, K] output: a (1, S, K) block satisfies the (8, 128)
         # tile rule by matching the array's trailing dims exactly
         out_specs=pl.BlockSpec(
-            (1, 1, k_n), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            (1, segments, k_n), lambda g: (g, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((g_n, 1, k_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_n, segments, k_n), jnp.float32),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=40 * g_n * k_n * lq * lt,
@@ -266,4 +368,4 @@ def sw_scores_grouped_pallas(
         ),
         interpret=interpret,
     )(q_codes.astype(jnp.int32), profile)
-    return out[:, 0]
+    return out[:, 0] if segments == 1 else out

@@ -228,6 +228,13 @@ def main():
 
     if not args.skip_union:
         sweep("ivf-auto")
+        # forced union scan: the auto heuristic prefers the DMA path on
+        # low-locality query sets, but the sym2 union scan is the lean
+        # layout's only ≥0.99-recall mode at k>rescore_max_k — measure it
+        ratio = index.DMA_OVER_UNION_RATIO
+        index.DMA_OVER_UNION_RATIO = 1 << 30
+        sweep("ivf-union")
+        index.DMA_OVER_UNION_RATIO = ratio
     if not args.skip_dma:
         index.UNION_MIN_Q = 1 << 30
         sweep("ivf-dma")

@@ -200,3 +200,43 @@ def test_align_hits_matches_align_pairs():
             got_e[i], want_e[pos : pos + len(row)], rtol=1e-6
         )
         pos += len(row)
+
+
+def test_align_hits_ragged_packing_matches_align_pairs():
+    """A hit mix that triggers RAGGED lane packing (one query with many
+    short mixed-length hits at k_lanes=128) must still equal align_pairs
+    pair-for-pair — the segmented kernel and the scatter indices undo the
+    shared-lane packing exactly."""
+    from knn_for_homology_tpu.ops.align import align_hits
+
+    rng = np.random.RandomState(13)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+
+    def seq(lo, hi):
+        return "".join(rng.choice(list(aas), rng.randint(lo, hi)))
+
+    # query 0: 200 short hits (ragged-packed: classic pays 2 chunks);
+    # query 1: a handful of hits longer than the query (flip-grouped)
+    queries = [seq(100, 140), seq(30, 40)]
+    hits = [
+        [seq(8, 60) for _ in range(200)],
+        [seq(50, 120) for _ in range(6)],
+    ]
+    db_res = float(sum(len(t) for row in hits for t in row))
+    got_s, got_e = align_hits(
+        queries, hits, db_residues=db_res, k_lanes=128, bucket=64
+    )
+    flat_q = [queries[i] for i, row in enumerate(hits) for _ in row]
+    flat_t = [t for row in hits for t in row]
+    want_s, want_e = align_pairs(
+        flat_q, flat_t, db_residues=db_res, bucket=64
+    )
+    pos = 0
+    for i, row in enumerate(hits):
+        np.testing.assert_array_equal(
+            got_s[i], want_s[pos : pos + len(row)]
+        )
+        np.testing.assert_allclose(
+            got_e[i], want_e[pos : pos + len(row)], rtol=1e-6
+        )
+        pos += len(row)

@@ -104,3 +104,85 @@ def test_hbm_kernel_compiled_matches_interpret():
         sw_scores_grouped_pallas(q_codes, t_codes, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def _ragged_workload(seed=23, g=3, k=128, lq=96, lt=192, s_max=4,
+                     seg_lo=5, seg_hi=60):
+    """Ragged lanes: up to s_max targets per lane, -1 separators; returns
+    (q_codes, t_ragged, ref) with ref = list of (g, s, k, codes)."""
+    rng = np.random.RandomState(seed)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    qs = ["".join(rng.choice(list(aas), rng.randint(20, lq)))
+          for _ in range(g)]
+    q_codes = np.stack([encode_sequence(q, lq) for q in qs])
+    t_ragged = np.full((g, k, lt), -1, np.int32)
+    ref = []
+    for gi in range(g):
+        for ki in range(k):
+            pos, si = 0, 0
+            while si < s_max:
+                tl = int(rng.randint(seg_lo, seg_hi))
+                if pos + tl > lt:
+                    break
+                t = "".join(rng.choice(list(aas), tl))
+                t_ragged[gi, ki, pos : pos + tl] = encode_sequence(t, tl)
+                ref.append((gi, si, ki, t))
+                pos += tl + 1
+                si += 1
+    return qs, q_codes, t_ragged, ref
+
+
+def test_segmented_pallas_matches_single_lane_kernel():
+    """Ragged lanes (multiple -1-separated targets per lane) must score
+    every segment bit-identically to the unsegmented kernel scoring each
+    target in its own lane — the segmented prefix max cannot leak
+    alignments (or gap extensions) across segment boundaries."""
+    qs, q_codes, t_ragged, ref = _ragged_workload()
+    out = np.asarray(sw_scores_grouped_pallas(
+        q_codes, t_ragged, convention="mmseqs", segments=4, max_seg_len=64
+    ))
+    assert out.shape == (3, 4, 128)
+    # golden: per (g): each target alone in a lane
+    by_g = {}
+    for gi, si, ki, t in ref:
+        by_g.setdefault(gi, []).append((si, ki, t))
+    for gi, entries in by_g.items():
+        for start in range(0, len(entries), 128):
+            chunk = entries[start : start + 128]
+            lt_max = max(len(t) for _, _, t in chunk)
+            tc = np.full((1, 128, lt_max), -1, np.int32)
+            for i, (_, _, t) in enumerate(chunk):
+                tc[0, i, : len(t)] = encode_sequence(t, len(t))
+            gold = np.asarray(sw_scores_grouped(
+                q_codes[gi : gi + 1], tc, convention="mmseqs"
+            ))[0]
+            for i, (si, ki, _) in enumerate(chunk):
+                assert out[gi, si, ki] == gold[i], (gi, si, ki)
+
+
+def test_segmented_sweep_bound_exact():
+    """max_seg_len bounds the prefix-max sweeps; any bound >= the longest
+    segment must give identical scores."""
+    _, q_codes, t_ragged, _ = _ragged_workload(seed=29, lt=256)
+    a = np.asarray(sw_scores_grouped_pallas(
+        q_codes, t_ragged, segments=4, max_seg_len=64
+    ))
+    b = np.asarray(sw_scores_grouped_pallas(
+        q_codes, t_ragged, segments=4
+    ))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled segmented kernel needs the TPU backend",
+)
+def test_segmented_compiled_matches_interpret():
+    _, q_codes, t_ragged, _ = _ragged_workload(seed=31)
+    got = np.asarray(sw_scores_grouped_pallas(
+        q_codes, t_ragged, segments=4, max_seg_len=64, interpret=False
+    ))
+    want = np.asarray(sw_scores_grouped_pallas(
+        q_codes, t_ragged, segments=4, max_seg_len=64, interpret=True
+    ))
+    np.testing.assert_array_equal(got, want)
