@@ -578,6 +578,90 @@ def _union_scan_one(
     return vals, ids
 
 
+def _dma_block_one(
+    q, centroids, pv, pi, sc, row_sq, db, slot, *,
+    metric, k_eff, nprobe, shortlist, rescore, max_probe, route_approx,
+    interpret,
+):
+    """One query block through the per-probe DMA path (traceable): route,
+    stream each query's own nprobe slabs through the double-buffered
+    beam_expand kernel, top-k the candidate strip, optionally rescore.
+    Shared by the eager per-block caller and the stacked scan below."""
+    if rescore is True:
+        rescore = "db"
+    route = _route_sims(q, centroids, metric)
+    sel = _route_topk(route, nprobe, route_approx)  # [q, nprobe]
+    q_sq = (
+        jnp.sum(jnp.square(q), axis=-1) if metric == "l2" else None
+    )
+    parts_s, parts_i = [], []
+    for p0 in range(0, nprobe, max_probe):
+        sel_part = sel[:, p0 : p0 + max_probe]
+        s_part, i_part = gp.beam_expand(
+            sel_part, q, pv, pi, sc, CAPACITY, interpret=interpret
+        )
+        if metric == "l2":
+            # internal convention (ops/distance.py): negated squared
+            # distance = 2qd - |d|^2 - |q|^2
+            s_part = (
+                2.0 * s_part - row_sq[sel_part] - q_sq[:, None, None]
+            )
+        parts_s.append(s_part)
+        parts_i.append(i_part)
+    cand_s = jnp.concatenate(parts_s, axis=1).reshape(q.shape[0], -1)
+    cand_i = jnp.concatenate(parts_i, axis=1).reshape(q.shape[0], -1)
+    cand_s = jnp.where(cand_i >= 0, cand_s, -jnp.inf)
+    vals, pos = jax.lax.top_k(cand_s, min(shortlist, cand_s.shape[1]))
+    ids = jnp.take_along_axis(cand_i, pos, axis=1)
+    if rescore:
+        if rescore == "slab":
+            vals = _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric)
+        else:
+            vals = _exact_rescore_rows(db, q, ids, metric)
+        vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
+        ids = jnp.take_along_axis(ids, order, axis=1)
+    return vals, ids
+
+
+_dma_block_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k_eff", "nprobe", "shortlist", "rescore", "max_probe",
+        "route_approx", "interpret",
+    ),
+)(_dma_block_one)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k_eff", "nprobe", "shortlist", "rescore", "max_probe",
+        "route_approx", "interpret",
+    ),
+)
+def _dma_scan_stacked(
+    q_blocks, centroids, pv, pi, sc, row_sq, db, slot, *,
+    metric, k_eff, nprobe, shortlist, rescore, max_probe, route_approx,
+    interpret,
+):
+    """All DMA-path query blocks in ONE device call (lax.scan): the eager
+    per-block loop paid ~8 relay dispatches per 4096-query block — the
+    measured reason the per-probe path ran ~15× below its own
+    bytes-per-query roofline at n=2^22 (route + expand pieces account for
+    ~1/15th of the end-to-end time; scripts/profile_ivf_dma.py)."""
+
+    def body(_, q):
+        return None, _dma_block_one(
+            q, centroids, pv, pi, sc, row_sq, db, slot,
+            metric=metric, k_eff=k_eff, nprobe=nprobe,
+            shortlist=shortlist, rescore=rescore, max_probe=max_probe,
+            route_approx=route_approx, interpret=interpret,
+        )
+
+    _, (vals, ids) = jax.lax.scan(body, None, q_blocks)
+    return vals, ids
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1014,57 +1098,36 @@ class IVFIndex:
             sims = jnp.concatenate(out_v, axis=0)[:q_n0]
             ids = jnp.concatenate(out_i, axis=0)[:q_n0]
             return self._finalize_search(sims, ids, k, perm)
-        sims_out, ids_out = [], []
-        for start in range(0, q_all.shape[0], qb):
-            q = q_all[start : start + qb]
-            route = _route_sims(q, self._centroids, self.metric)
-            sel = _route_topk(
-                route, nprobe, self._route_approx()
-            )  # [q, nprobe]
-            q_sq = (
-                jnp.sum(jnp.square(q), axis=-1)
-                if self.metric == "l2"
-                else None
-            )
-            parts_s, parts_i = [], []
-            for p0 in range(0, nprobe, self.MAX_PROBE_PER_CALL):
-                sel_part = sel[:, p0 : p0 + self.MAX_PROBE_PER_CALL]
-                s_part, i_part = gp.beam_expand(
-                    sel_part, q, pv, pi, sc, CAPACITY, interpret=interpret
-                )
-                if self.metric == "l2":
-                    # internal convention (ops/distance.py): negated
-                    # squared distance = 2qd - |d|^2 - |q|^2
-                    s_part = (
-                        2.0 * s_part
-                        - self._row_sq[sel_part]
-                        - q_sq[:, None, None]
-                    )
-                parts_s.append(s_part)
-                parts_i.append(i_part)
-            cand_s = jnp.concatenate(parts_s, axis=1).reshape(q.shape[0], -1)
-            cand_i = jnp.concatenate(parts_i, axis=1).reshape(q.shape[0], -1)
-            cand_s = jnp.where(cand_i >= 0, cand_s, -jnp.inf)
-            vals, pos = jax.lax.top_k(
-                cand_s, min(shortlist, cand_s.shape[1])
-            )
-            ids = jnp.take_along_axis(cand_i, pos, axis=1)
-            if rescore:
-                vals = self._exact_rescore(q, ids)
-                vals, order = jax.lax.top_k(
-                    vals, min(k_eff, vals.shape[1])
-                )
-                ids = jnp.take_along_axis(ids, order, axis=1)
-            sims_out.append(vals)
-            ids_out.append(ids)
-        sims = (
-            sims_out[0] if len(sims_out) == 1
-            else jnp.concatenate(sims_out, axis=0)
+        dma_kwargs = dict(
+            metric=self.metric, k_eff=k_eff, nprobe=nprobe,
+            shortlist=shortlist, rescore=rescore,
+            max_probe=self.MAX_PROBE_PER_CALL,
+            route_approx=self._route_approx(), interpret=interpret,
         )
-        ids = (
-            ids_out[0] if len(ids_out) == 1
-            else jnp.concatenate(ids_out, axis=0)
+        dma_args = (
+            self._centroids, pv, pi, sc, self._row_sq_arg(),
+            self._db_arg(), self._slot_arg(),
         )
+        q_n0 = q_all.shape[0]
+        if q_n0 <= qb:
+            sims, ids = _dma_block_jit(q_all, *dma_args, **dma_kwargs)
+            return self._finalize_search(sims, ids, k, perm)
+        # stack full blocks into ONE scan dispatch (tail padded by
+        # repeating the last row, cropped after)
+        n_blocks = -(-q_n0 // qb)
+        pad = n_blocks * qb - q_n0
+        q_pad = (
+            jnp.concatenate(
+                [q_all, jnp.broadcast_to(q_all[-1:], (pad, q_all.shape[1]))]
+            )
+            if pad
+            else q_all
+        )
+        sims, ids = _dma_scan_stacked(
+            q_pad.reshape(n_blocks, qb, -1), *dma_args, **dma_kwargs
+        )
+        sims = sims.reshape(n_blocks * qb, -1)[:q_n0]
+        ids = ids.reshape(n_blocks * qb, -1)[:q_n0]
         return self._finalize_search(sims, ids, k, perm)
 
     def _finalize_search(self, sims, ids, k: int, perm):

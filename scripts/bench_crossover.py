@@ -61,6 +61,16 @@ def main():
     p.add_argument("--skip-union", action="store_true")
     p.add_argument("--skip-dma", action="store_true")
     p.add_argument("--dma-ratio", type=int, default=0)
+    p.add_argument(
+        "--query-mode", choices=["random", "family"], default="random",
+        help="random: queries = the first db rows (no shared structure"
+        " between consecutive queries — the worst case for probe"
+        " sharing). family: queries drawn family-by-family from a few"
+        " hundred generator clusters — the reference's production shape"
+        " (pfam/proteins.py streams family-sorted embeddings), where a"
+        " query block's probe union is a small fraction of the table",
+    )
+    p.add_argument("--families", type=int, default=256)
     args = p.parse_args()
 
     import jax
@@ -81,7 +91,31 @@ def main():
         jax.random.PRNGKey(0), n, d, gen_clusters, args.chunk
     )
     assert args.chunk >= args.queries, "queries must fit the first chunk"
-    queries = jax.block_until_ready(next(iter(chunks()))[: args.queries])
+    if args.query_mode == "random":
+        queries = next(iter(chunks()))[: args.queries]
+    else:
+        # family mode: fresh draws around `families` generator centers
+        # (queries are NOT db rows; per-family counts equal). The
+        # generator's centers are reproduced from the same key split that
+        # make_clustered_chunks uses.
+        from knn_for_homology_tpu.ops.distance import l2_normalize
+
+        kc, kd = jax.random.split(jax.random.PRNGKey(0))
+        centers = l2_normalize(
+            jax.random.normal(kc, (gen_clusters, d), jnp.float32)
+        )
+        kf, kn = jax.random.split(jax.random.fold_in(kd, 1 << 20))
+        fams = jax.random.choice(
+            kf, gen_clusters, (args.families,), replace=False
+        )
+        per = args.queries // args.families
+        assign = jnp.repeat(fams, per)[: args.queries]
+        x = centers[assign] + (0.5 / np.sqrt(d)) * jax.random.normal(
+            kn, (args.queries, d), jnp.float32
+        )
+        queries = l2_normalize(x)
+        del centers
+    queries = jax.block_until_ready(queries)
     k_max = max(args.ks)
 
     # ---- streamed fp32-exact baseline on the recall subsample ----
