@@ -301,6 +301,156 @@ def e_values(
     return KA_K * m * db_residues * jnp.exp(-KA_LAMBDA * scores)
 
 
+def plan_align_cells(
+    queries: list,
+    hits: list,
+    k_lanes: int = 128,
+    g_block: int = 128,
+    bucket: int = 128,
+    ragged: bool = True,
+) -> dict:
+    """Pack the (query, hit-list) alignment workload into dispatch cells
+    using only sequence LENGTHS (len(seq)) — shared by align_hits (which
+    fills real codes) and scripts/bench_align_anchor.py (which generates
+    codes ON DEVICE at the planned shapes: the ~3 MB/s host tunnel
+    forbids shipping a 10^7-pair workload, so the anchor measures the
+    true dispatch geometry with synthetic codes).
+
+    Returns cells: {(lq_b, lt_b, s_b): [(row_seq, row_lanes), ...]} with
+    row_lanes = [[(lane_seq, qi, pos), ...] per lane]; see align_hits'
+    docstring for the flip-grouping and ragged-packing rules.
+    """
+
+    def pad_len(x):
+        return max(bucket, ((x + bucket - 1) // bucket) * bucket)
+
+    # flip-group: row side = the longer sequence (keyed by content —
+    # identical sequences share a group harmlessly)
+    groups: dict = {}
+    for qi, row in enumerate(hits):
+        q = queries[qi]
+        for pos, t in enumerate(row):
+            row_seq, lane_seq = (t, q) if len(t) > len(q) else (q, t)
+            groups.setdefault(row_seq, []).append((lane_seq, qi, pos))
+
+    from .align_pallas import MAX_LT_K_HBM, MAX_SEGMENTS
+
+    # rows: (row_seq, [lane, ...]) with each lane a LIST of
+    # (lane_seq, qi, pos) segments, celled by (Lq, Lt, S) on the bucket
+    # grid. Classic packing (one target per lane, S=1) chunks the
+    # length-sorted group by k_lanes; RAGGED packing (r5) first-fit-
+    # decreasing-packs a whole group's targets into shared lanes with -1
+    # separators, which collapses the per-chunk max-length padding AND
+    # the partial tail chunk — the 1.84× pad factor's two components
+    # (simulated 1.74 → 1.17 on the anchor mix). Ragged rows require the
+    # segmented Pallas kernel, so groups are only ragged-packed when the
+    # resulting cell is Pallas-eligible; the per-group choice is by
+    # padded-cost comparison, so packing never regresses.
+    ragged_ok = ragged and k_lanes % 128 == 0
+    cap_max = (MAX_LT_K_HBM // k_lanes) // bucket * bucket
+
+    import heapq
+
+    def ffd_pack(entries_desc, cap):
+        """Worst-fit-decreasing into lanes of `cap` residues (+1
+        separator per target, MAX_SEGMENTS per lane): each entry lands
+        in the open lane with the most remaining room (heap) — O(E·logL)
+        where first-fit's O(E·L) lane scan made a 10^7-pair plan take
+        tens of minutes; tail/max-length collapse is equivalent."""
+        heap = []  # (-room, lane index)
+        lanes_out = []
+        for e in entries_desc:
+            need = len(e[0]) + 1
+            if heap and -heap[0][0] >= need:
+                neg_room, i = heapq.heappop(heap)
+                lanes_out[i].append(e)
+                if len(lanes_out[i]) < MAX_SEGMENTS:
+                    heapq.heappush(heap, (neg_room + need, i))
+            else:
+                lanes_out.append([e])
+                if MAX_SEGMENTS > 1:
+                    heapq.heappush(
+                        heap, (-(cap - len(e[0]) - 1), len(lanes_out) - 1)
+                    )
+        return lanes_out
+
+    cells: dict = {}
+
+    def emit_classic(row_seq, lanes, lq_b):
+        for start in range(0, len(lanes), k_lanes):
+            chunk = lanes[start : start + k_lanes]
+            lt_b = pad_len(len(chunk[-1][0]))
+            cells.setdefault((lq_b, lt_b, 1), []).append(
+                (row_seq, [[e] for e in chunk])
+            )
+
+    for row_seq, lanes in groups.items():
+        lanes.sort(key=lambda x: len(x[0]))
+        lq_b = pad_len(len(row_seq))
+        classic_cost = sum(
+            pad_len(len(lanes[min(s + k_lanes, len(lanes)) - 1][0]))
+            for s in range(0, len(lanes), k_lanes)
+        )
+        best = None
+        if ragged_ok and lq_b <= (1 << 17) // 8 and len(lanes) > 1:
+            m_len = len(lanes[-1][0])
+            tot = sum(len(e[0]) + 1 for e in lanes)
+            max_rows = -(-len(lanes) // k_lanes)
+            for r in range(1, max_rows + 1):
+                cap = pad_len(max(m_len, -(-tot // (r * k_lanes))))
+                if cap > cap_max:
+                    continue
+                # lower bound (each lane holds ≤ cap+1 counted residues:
+                # the last segment needs no separator): skip caps that
+                # cannot beat the best cost found so far
+                lanes_min = -(-tot // (cap + 1))
+                lb = -(-lanes_min // k_lanes) * cap
+                if lb >= (classic_cost if best is None
+                          else min(classic_cost, best[0])):
+                    continue
+                packed = ffd_pack(lanes[::-1], cap)
+                cost = -(-len(packed) // k_lanes) * cap
+                if best is None or cost < best[0]:
+                    best = (cost, cap, packed)
+        if best is not None and best[0] < classic_cost:
+            _, cap, packed = best
+            for start in range(0, len(packed), k_lanes):
+                row_lanes = packed[start : start + k_lanes]
+                s_max = max(len(ln) for ln in row_lanes)
+                s_b = 1 << (s_max - 1).bit_length() if s_max > 1 else 1
+                cells.setdefault((lq_b, cap, s_b), []).append(
+                    (row_seq, row_lanes)
+                )
+        else:
+            emit_classic(row_seq, lanes, lq_b)
+    return cells
+
+
+def iter_align_blocks(cells: dict, g_block: int = 128):
+    """Yield (lq_b, lt_b, s_b, sweep, g_pad, block) dispatch blocks in
+    deterministic order — the free-form-grid chunking rule shared by
+    align_hits and the anchor bench, so each distinct compiled program
+    is keyed by (g_pad, lq_b, lt_b, s_b, sweep)."""
+    for (lq_b, lt_b, s_b), rows in sorted(cells.items()):
+        # the grid is free-form, so chunks need no fixed size: cap by the
+        # SMEM row-code budget (g·Lq int32 ≤ 512 KB) and round only the
+        # TAIL chunk up to a power of two (bounded compile variety)
+        g_max = max(8, min(g_block, (1 << 17) // lq_b))
+        # prefix-max sweeps only need to span the longest single target;
+        # pow2 rounding keeps one compiled program per sweep count
+        max_seg = max(
+            len(e[0]) for _, lns in rows for ln in lns for e in ln
+        )
+        sweep = 1 << max(max_seg - 1, 0).bit_length()
+        for start in range(0, len(rows), g_max):
+            block = rows[start : start + g_max]
+            g = len(block)
+            g_pad = g if g == g_max else max(
+                8, 1 << (g - 1).bit_length()
+            )
+            yield lq_b, lt_b, s_b, sweep, g_pad, block
+
+
 def align_hits(
     queries: list,
     hits: list,  # hits[i] = list of target strings for queries[i]
@@ -342,93 +492,9 @@ def align_hits(
             sum(len(t) for row in hits for t in row)
         )
 
-    def pad_len(x):
-        return max(bucket, ((x + bucket - 1) // bucket) * bucket)
+    from .align_pallas import MAX_LT_K_HBM, sw_scores_grouped_pallas
 
-    # flip-group: row side = the longer sequence (keyed by content —
-    # identical sequences share a group harmlessly)
-    groups: dict = {}
-    for qi, row in enumerate(hits):
-        q = queries[qi]
-        for pos, t in enumerate(row):
-            row_seq, lane_seq = (t, q) if len(t) > len(q) else (q, t)
-            groups.setdefault(row_seq, []).append((lane_seq, qi, pos))
-
-    from .align_pallas import (
-        MAX_LT_K_HBM, MAX_SEGMENTS, sw_scores_grouped_pallas,
-    )
-
-    # rows: (row_seq, [lane, ...]) with each lane a LIST of
-    # (lane_seq, qi, pos) segments, celled by (Lq, Lt, S) on the bucket
-    # grid. Classic packing (one target per lane, S=1) chunks the
-    # length-sorted group by k_lanes; RAGGED packing (r5) first-fit-
-    # decreasing-packs a whole group's targets into shared lanes with -1
-    # separators, which collapses the per-chunk max-length padding AND
-    # the partial tail chunk — the 1.84× pad factor's two components
-    # (simulated 1.74 → 1.17 on the anchor mix). Ragged rows require the
-    # segmented Pallas kernel, so groups are only ragged-packed when the
-    # resulting cell is Pallas-eligible; the per-group choice is by
-    # padded-cost comparison, so packing never regresses.
-    ragged_ok = k_lanes % 128 == 0
-    cap_max = (MAX_LT_K_HBM // k_lanes) // bucket * bucket
-
-    def ffd_pack(entries_desc, cap):
-        """First-fit-decreasing into lanes of `cap` residues (+1
-        separator per target, MAX_SEGMENTS per lane)."""
-        lanes_out, loads = [], []
-        for e in entries_desc:
-            need = len(e[0]) + 1
-            for i in range(len(lanes_out)):
-                if loads[i] + need <= cap and len(lanes_out[i]) < MAX_SEGMENTS:
-                    lanes_out[i].append(e)
-                    loads[i] += need
-                    break
-            else:
-                lanes_out.append([e])
-                loads.append(len(e[0]))
-        return lanes_out
-
-    cells: dict = {}
-
-    def emit_classic(row_seq, lanes, lq_b):
-        for start in range(0, len(lanes), k_lanes):
-            chunk = lanes[start : start + k_lanes]
-            lt_b = pad_len(len(chunk[-1][0]))
-            cells.setdefault((lq_b, lt_b, 1), []).append(
-                (row_seq, [[e] for e in chunk])
-            )
-
-    for row_seq, lanes in groups.items():
-        lanes.sort(key=lambda x: len(x[0]))
-        lq_b = pad_len(len(row_seq))
-        classic_cost = sum(
-            pad_len(len(lanes[min(s + k_lanes, len(lanes)) - 1][0]))
-            for s in range(0, len(lanes), k_lanes)
-        )
-        best = None
-        if ragged_ok and lq_b <= (1 << 17) // 8 and len(lanes) > 1:
-            m_len = len(lanes[-1][0])
-            tot = sum(len(e[0]) + 1 for e in lanes)
-            max_rows = -(-len(lanes) // k_lanes)
-            for r in range(1, max_rows + 1):
-                cap = pad_len(max(m_len, -(-tot // (r * k_lanes))))
-                if cap > cap_max:
-                    continue
-                packed = ffd_pack(lanes[::-1], cap)
-                cost = -(-len(packed) // k_lanes) * cap
-                if best is None or cost < best[0]:
-                    best = (cost, cap, packed)
-        if best is not None and best[0] < classic_cost:
-            _, cap, packed = best
-            for start in range(0, len(packed), k_lanes):
-                row_lanes = packed[start : start + k_lanes]
-                s_max = max(len(ln) for ln in row_lanes)
-                s_b = 1 << (s_max - 1).bit_length() if s_max > 1 else 1
-                cells.setdefault((lq_b, cap, s_b), []).append(
-                    (row_seq, row_lanes)
-                )
-        else:
-            emit_classic(row_seq, lanes, lq_b)
+    cells = plan_align_cells(queries, hits, k_lanes, g_block, bucket)
 
     scores = [
         np.zeros(len(row), dtype=np.float32) for row in hits
@@ -438,63 +504,49 @@ def align_hits(
     # each block's [g, K] output eagerly costs one relay round-trip
     # (~60 ms here) PER BLOCK; deferring turns that into ONE sync
     pending = []  # (device out, block, segments) in dispatch order
-    for (lq_b, lt_b, s_b), rows in sorted(cells.items()):
-        # the grid is free-form, so chunks need no fixed size: cap by the
-        # SMEM row-code budget (g·Lq int32 ≤ 512 KB) and round only the
-        # TAIL chunk up to a power of two (bounded compile variety)
-        g_max = max(8, min(g_block, (1 << 17) // lq_b))
-        # prefix-max sweeps only need to span the longest single target;
-        # pow2 rounding keeps one compiled program per sweep count
-        max_seg = max(
-            len(e[0]) for _, lns in rows for ln in lns for e in ln
+    for lq_b, lt_b, s_b, sweep, g_pad, block in iter_align_blocks(
+        cells, g_block
+    ):
+        q_codes = np.full((g_pad, lq_b), -1, dtype=np.int32)
+        t_codes = np.full(
+            (g_pad, k_lanes, lt_b), -1, dtype=np.int32
         )
-        sweep = 1 << max(max_seg - 1, 0).bit_length()
-        for start in range(0, len(rows), g_max):
-            block = rows[start : start + g_max]
-            g = len(block)
-            g_pad = g if g == g_max else max(
-                8, 1 << (g - 1).bit_length()
+        for r, (row_seq, row_lanes) in enumerate(block):
+            q_codes[r] = encode_sequence(row_seq, lq_b)
+            for l, lane in enumerate(row_lanes):
+                pos = 0
+                for (lane_seq, _, _) in lane:
+                    ll = len(lane_seq)
+                    t_codes[r, l, pos : pos + ll] = encode_sequence(
+                        lane_seq, ll
+                    )
+                    pos += ll + 1  # -1 separator stays from the fill
+        # Pallas DP whenever the cell's LANE axis fits the HBM-profile
+        # budget (resident kernel below MAX_LT_K, per-row plane DMA
+        # above it) — ~13-60× the XLA scan and ~1.5 s per fresh shape
+        # instead of ~85 s; only K>589k/lanes cells fall back. The
+        # g_pad·lq_b term re-checks the SMEM q-code budget: g_max's
+        # floor of 8 rows can exceed it for titin-class rows
+        # (lq_b > 16384), which must take the XLA path (ADVICE r4).
+        # Ragged cells (s_b > 1) are Pallas-eligible by construction.
+        if (
+            k_lanes % 128 == 0
+            and lt_b * k_lanes <= MAX_LT_K_HBM
+            and g_pad * lq_b <= 1 << 17
+        ):
+            out = sw_scores_grouped_pallas(
+                jnp.asarray(q_codes), jnp.asarray(t_codes),
+                convention=convention, segments=s_b,
+                max_seg_len=sweep if s_b > 1 else None,
             )
-            q_codes = np.full((g_pad, lq_b), -1, dtype=np.int32)
-            t_codes = np.full(
-                (g_pad, k_lanes, lt_b), -1, dtype=np.int32
+        else:
+            assert s_b == 1, "ragged cells are Pallas-only"
+            out = sw_scores_grouped(
+                jnp.asarray(q_codes), jnp.asarray(t_codes),
+                convention=convention, unroll=unroll,
+                scan_chunk=scan_chunk,
             )
-            for r, (row_seq, row_lanes) in enumerate(block):
-                q_codes[r] = encode_sequence(row_seq, lq_b)
-                for l, lane in enumerate(row_lanes):
-                    pos = 0
-                    for (lane_seq, _, _) in lane:
-                        ll = len(lane_seq)
-                        t_codes[r, l, pos : pos + ll] = encode_sequence(
-                            lane_seq, ll
-                        )
-                        pos += ll + 1  # -1 separator stays from the fill
-            # Pallas DP whenever the cell's LANE axis fits the HBM-profile
-            # budget (resident kernel below MAX_LT_K, per-row plane DMA
-            # above it) — ~13-60× the XLA scan and ~1.5 s per fresh shape
-            # instead of ~85 s; only K>589k/lanes cells fall back. The
-            # g_pad·lq_b term re-checks the SMEM q-code budget: g_max's
-            # floor of 8 rows can exceed it for titin-class rows
-            # (lq_b > 16384), which must take the XLA path (ADVICE r4).
-            # Ragged cells (s_b > 1) are Pallas-eligible by construction.
-            if (
-                k_lanes % 128 == 0
-                and lt_b * k_lanes <= MAX_LT_K_HBM
-                and g_pad * lq_b <= 1 << 17
-            ):
-                out = sw_scores_grouped_pallas(
-                    jnp.asarray(q_codes), jnp.asarray(t_codes),
-                    convention=convention, segments=s_b,
-                    max_seg_len=sweep if s_b > 1 else None,
-                )
-            else:
-                assert s_b == 1, "ragged cells are Pallas-only"
-                out = sw_scores_grouped(
-                    jnp.asarray(q_codes), jnp.asarray(t_codes),
-                    convention=convention, unroll=unroll,
-                    scan_chunk=scan_chunk,
-                )
-            pending.append((out, block, s_b))
+        pending.append((out, block, s_b))
 
     # phase 2: one fetch per block after all device work is queued (the
     # device serialises programs, so the fetches drain without stalls)
