@@ -445,8 +445,12 @@ def iter_align_blocks(cells: dict, g_block: int = 128):
         for start in range(0, len(rows), g_max):
             block = rows[start : start + g_max]
             g = len(block)
-            g_pad = g if g == g_max else max(
-                8, 1 << (g - 1).bit_length()
+            # clamp the rounded tail at g_max: pow2 rounding past it would
+            # break the SMEM budget (g_pad*lq_b ≤ 2^17) that makes ragged
+            # cells Pallas-eligible, and the g_max shape reuses the full
+            # chunks' already-compiled program anyway
+            g_pad = g if g == g_max else min(
+                g_max, max(8, 1 << (g - 1).bit_length())
             )
             yield lq_b, lt_b, s_b, sweep, g_pad, block
 

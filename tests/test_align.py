@@ -240,3 +240,41 @@ def test_align_hits_ragged_packing_matches_align_pairs():
             got_e[i], want_e[pos : pos + len(row)], rtol=1e-6
         )
         pos += len(row)
+
+
+def test_ragged_tail_blocks_stay_pallas_eligible():
+    """The pow2 rounding of a TAIL dispatch chunk must never push
+    g_pad past the SMEM budget that makes ragged cells Pallas-eligible
+    (g_pad*lq_b <= 2^17): at lq_b=1920 the full chunk is g_max=68, and a
+    67-row tail used to round to g_pad=128 -> 245k > 2^17, which the
+    dispatcher then asserted on (ragged cells have no lax fallback)."""
+    from knn_for_homology_tpu.ops.align import (
+        iter_align_blocks,
+        plan_align_cells,
+    )
+    from knn_for_homology_tpu.ops.align_pallas import MAX_LT_K_HBM
+
+    class _Seq:
+        __slots__ = ("n",)
+
+        def __init__(self, n):
+            self.n = int(n)
+
+        def __len__(self):
+            return self.n
+
+    rng = np.random.RandomState(7)
+    k_lanes = 128
+    # one long row-side group (lq_b=1920) with enough mixed-length hits
+    # to ragged-pack into >g_max rows plus a non-pow2-friendly tail
+    q = _Seq(1900)
+    hits_row = [_Seq(n) for n in rng.randint(20, 300, 135 * k_lanes)]
+    cells = plan_align_cells([q], [hits_row], k_lanes, 128, 128)
+    saw_ragged_tail = False
+    for lq_b, lt_b, s_b, _sweep, g_pad, block in iter_align_blocks(cells):
+        if s_b > 1:
+            assert g_pad * lq_b <= 1 << 17, (g_pad, lq_b)
+            assert lt_b * k_lanes <= MAX_LT_K_HBM
+            if len(block) < g_pad or g_pad < 128:
+                saw_ragged_tail = True
+    assert saw_ragged_tail, "fixture no longer produces a ragged tail"
