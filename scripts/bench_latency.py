@@ -23,6 +23,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def time_calls(fn, reps):
@@ -61,9 +62,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
-    from knn_for_homology_tpu.ops.distance import l2_normalize
+    from bench_ivf import make_clustered_chunks
     from knn_for_homology_tpu.search.flat import FlatIndex
     from knn_for_homology_tpu.search.graph import GraphIndex
     from knn_for_homology_tpu.search.ivf import IVFIndex
@@ -71,10 +72,14 @@ def main():
 
     ensure_compile_cache()
     n = 1 << args.log_n
-    # db generated ON DEVICE (the relay tunnel is ~3 MB/s)
-    db = l2_normalize(
-        jax.random.normal(jax.random.PRNGKey(0), (n, args.d), jnp.float32)
+    # db generated ON DEVICE (the relay tunnel is ~3 MB/s), CLUSTERED
+    # like real embedding corpora (a pure-Gaussian d=1024 db has no cell
+    # structure, so IVF recall collapses to ~nprobe/cells — the r5
+    # latency run's 0.16 "recall" measured the generator, not the index)
+    chunks = make_clustered_chunks(
+        jax.random.PRNGKey(0), n, args.d, max(1, n // 128), n
     )
+    db = next(iter(chunks()))
     jax.block_until_ready(db)
     qpool = np.asarray(db[: max(args.batches) * args.reps])
 
