@@ -60,6 +60,13 @@ class T5Config:
     # the documented experiment and for future Mosaic versions.
     use_short_kernel: Any = "auto"  # "auto" (= off) | True | False
     short_kernel_max: int = 512
+    # fused FFN Pallas kernel (ops/ffn_pallas.py): x + relu(rmsnorm(x)·wi)·wo
+    # in one pass, the [tokens, d_ff] relu intermediate never leaving VMEM.
+    # The roofline holds the FFN round-trip at ~55% MXU in isolation
+    # (scripts/roofline_encoder.py M1 vs M7). "auto" resolves from the
+    # measured verdict documented there (pending measurement = off, the
+    # same protocol as use_short_kernel); True/False force.
+    use_fused_ffn: Any = "auto"  # "auto" (= off) | True | False
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
@@ -287,6 +294,20 @@ def _attention_blockwise(x, params, mask, config: T5Config):
 
 
 def _mlp(x, params, config: T5Config):
+    use_fused = (
+        False  # pending the roofline verdict (see T5Config.use_fused_ffn)
+        if config.use_fused_ffn == "auto"
+        else bool(config.use_fused_ffn)
+    )
+    if use_fused:
+        from knn_for_homology_tpu.ops.ffn_pallas import fused_ffn_t5
+
+        b, l, d = x.shape
+        out = fused_ffn_t5(
+            x.reshape(b * l, d), params["ln"], params["wi"], params["wo"],
+            eps=config.layer_norm_eps,
+        )
+        return out.reshape(b, l, d)
     normed = rms_norm(x, params["ln"], config.layer_norm_eps)
     hidden = jnp.einsum("bld,df->blf", normed, params["wi"])
     hidden = jax.nn.relu(hidden)

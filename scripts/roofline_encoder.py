@@ -137,21 +137,38 @@ def main():
 
     report("M6 short fused attn core", timed(short_core, q), f_core)
 
+    from knn_for_homology_tpu.ops.ffn_pallas import fused_ffn_t5
+
+    ln = jnp.ones((D,), jnp.bfloat16)
+
+    def ffn_fused(xc):
+        return fused_ffn_t5(xc, ln, wi, wo)
+
+    # same FLOP mass as M1 plus the rmsnorm prologue / residual epilogue
+    # that M1 omits (XLA fuses those into the matmul edges in-context)
+    report("M7 fused FFN Pallas kernel", timed(ffn_fused, x), f_ffn)
+
     for tag, cfg in [
         ("F  24-layer encode (dense)", t5.T5Config(
             vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
             num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
-            use_short_kernel=False,
+            use_short_kernel=False, use_fused_ffn=False,
         )),
         ("F2 24-layer encode (flash)", t5.T5Config(
             vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
             num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
             blockwise_above=L - 1, use_flash_kernel=True,
+            use_fused_ffn=False,
         )),
         ("F3 24-layer encode (short)", t5.T5Config(
             vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
             num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
-            use_short_kernel=True,
+            use_short_kernel=True, use_fused_ffn=False,
+        )),
+        ("F4 24-layer encode (fusedFFN)", t5.T5Config(
+            vocab_size=128, d_model=D, d_kv=DKV, d_ff=DFF,
+            num_layers=LAYERS, num_heads=H, dtype=jnp.bfloat16,
+            use_short_kernel=False, use_fused_ffn=True,
         )),
     ]:
         shapes = jax.eval_shape(lambda: t5.init_params(cfg, seed=0))
