@@ -18,7 +18,8 @@ ONE jit via lax.fori_loop with a data-dependent carry, fetches one scalar
 at the end, and divides by REPS — device-only sequencing, one relay
 round-trip per measurement.
 
-Usage: python scripts/roofline_encoder.py [batch length]
+Usage: python scripts/roofline_encoder.py [batch length [tags]]
+(tags: comma-separated case prefixes, e.g. "M1,M7,F ,F4")
 """
 
 import functools
@@ -35,6 +36,14 @@ import numpy as np
 from knn_for_homology_tpu.models import t5
 
 B, L = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (128, 256)
+# optional 3rd arg: comma-separated tag prefixes to run (e.g. "M1,M7,F ,F4")
+ONLY = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+
+def selected(tag):
+    return ONLY is None or any(tag.startswith(p) for p in ONLY)
+
+
 D, DKV, DFF, H, LAYERS = 1024, 128, 16384, 32, 24
 TOKENS = B * L
 PEAK = 197e12  # v5e bf16
@@ -82,14 +91,16 @@ def main():
         return jnp.dot(h, wo).astype(jnp.bfloat16)
 
     f_ffn = 2 * TOKENS * D * DFF * 2
-    report("M1 FFN wi+relu+wo", timed(ffn, x), f_ffn)
+    if selected("M1"):
+        report("M1 FFN wi+relu+wo", timed(ffn, x), f_ffn)
 
     def proj4(xc):
         outs = [jnp.dot(xc, wq) for _ in range(4)]
         return sum(o[:, :D] for o in outs).astype(jnp.bfloat16)
 
     f_proj = 4 * 2 * TOKENS * D * H * DKV
-    report("M2 q,k,v,o projections", timed(proj4, x), f_proj)
+    if selected("M2"):
+        report("M2 q,k,v,o projections", timed(proj4, x), f_proj)
 
     q = jax.random.normal(key, (B, H, L, DKV), jnp.bfloat16)
     mask = jnp.ones((B, L), bool)
@@ -104,14 +115,16 @@ def main():
                           ).astype(jnp.bfloat16)
 
     f_core = 4 * B * H * L * L * DKV
-    report("M3 dense attention core", timed(attn_core, q), f_core)
+    if selected("M3"):
+        report("M3 dense attention core", timed(attn_core, q), f_core)
 
     from knn_for_homology_tpu.ops.flash_attention import flash_attention_t5
 
     def flash_core(qc):
         return flash_attention_t5(qc, qc, qc, mask, rel, block=min(512, L))
 
-    report("M5 flash attention core", timed(flash_core, q), f_core)
+    if selected("M5"):
+        report("M5 flash attention core", timed(flash_core, q), f_core)
 
     def vpu_tail(xc):
         for _ in range(4):
@@ -120,7 +133,8 @@ def main():
             xc = (xc * jax.lax.rsqrt(var + 1e-6)).astype(jnp.bfloat16)
         return xc
 
-    report("M4 4x rmsnorm (VPU tail)", timed(vpu_tail, x))
+    if selected("M4"):
+        report("M4 4x rmsnorm (VPU tail)", timed(vpu_tail, x))
 
     f_layer = f_ffn + f_proj + f_core
     ids = jnp.asarray(
@@ -135,7 +149,8 @@ def main():
     def short_core(qc):
         return short_attention_t5(qc, qc, qc, mask, bias)
 
-    report("M6 short fused attn core", timed(short_core, q), f_core)
+    if selected("M6"):
+        report("M6 short fused attn core", timed(short_core, q), f_core)
 
     from knn_for_homology_tpu.ops.ffn_pallas import fused_ffn_t5
 
@@ -146,7 +161,8 @@ def main():
 
     # same FLOP mass as M1 plus the rmsnorm prologue / residual epilogue
     # that M1 omits (XLA fuses those into the matmul edges in-context)
-    report("M7 fused FFN Pallas kernel", timed(ffn_fused, x), f_ffn)
+    if selected("M7"):
+        report("M7 fused FFN Pallas kernel", timed(ffn_fused, x), f_ffn)
 
     for tag, cfg in [
         ("F  24-layer encode (dense)", t5.T5Config(
@@ -171,6 +187,8 @@ def main():
             use_short_kernel=False, use_fused_ffn=True,
         )),
     ]:
+        if not selected(tag):
+            continue
         shapes = jax.eval_shape(lambda: t5.init_params(cfg, seed=0))
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
         vals = [
