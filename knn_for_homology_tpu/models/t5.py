@@ -62,11 +62,12 @@ class T5Config:
     short_kernel_max: int = 512
     # fused FFN Pallas kernel (ops/ffn_pallas.py): x + relu(rmsnorm(x)·wi)·wo
     # in one pass, the [tokens, d_ff] relu intermediate never leaving VMEM.
-    # The roofline holds the FFN round-trip at ~55% MXU in isolation
-    # (scripts/roofline_encoder.py M1 vs M7). "auto" resolves from the
-    # measured verdict documented there (pending measurement = off, the
-    # same protocol as use_short_kernel); True/False force.
-    use_fused_ffn: Any = "auto"  # "auto" (= off) | True | False
+    # Measured (scripts/roofline_encoder.py, 128x256 ProtT5-XL-shape):
+    # full 24-layer encode 54.2k res/s at 69.2% MXU vs 49.1k / 62.7%
+    # dense — an 11% end-to-end win, so "auto" resolves to ON on TPU
+    # (bf=1024 tiles fit the 16 MB scoped-VMEM ceiling; bf=2048 does
+    # not inside the encoder loop). Off elsewhere (interpret mode).
+    use_fused_ffn: Any = "auto"  # "auto" (= TPU) | True | False
 
 
 # ProtT5-XL (t5-3b encoder) — reference model of pfam/embed_t5_fp16.py
@@ -295,7 +296,7 @@ def _attention_blockwise(x, params, mask, config: T5Config):
 
 def _mlp(x, params, config: T5Config):
     use_fused = (
-        False  # pending the roofline verdict (see T5Config.use_fused_ffn)
+        jax.default_backend() == "tpu"  # measured win, see T5Config
         if config.use_fused_ffn == "auto"
         else bool(config.use_fused_ffn)
     )

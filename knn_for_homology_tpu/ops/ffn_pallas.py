@@ -77,7 +77,7 @@ def fused_ffn_t5(
     wo: jnp.ndarray,  # [DFF, D]
     eps: float = 1e-6,
     bm: int = 256,
-    bf: int = 2048,
+    bf: int = 1024,
     interpret: bool = None,
 ) -> jnp.ndarray:
     """→ x + relu(rms_norm(x, ln_scale)·wi)·wo, [T, D].
@@ -85,7 +85,10 @@ def fused_ffn_t5(
     T is padded to the token tile internally (rms_norm is per-row, so
     padded rows never influence real ones). VMEM per step ≈
     bm·D·(2+2+4) + 2·bf·D·2·2 (double-buffered wi/wo) + bm·bf·4 bytes —
-    the default (256, 2048) uses ~12 MB on D=1024.
+    the default (256, 1024) uses ~12.5 MB on D=1024, under the 16 MB
+    scoped-VMEM ceiling (bf=2048 measured 18.54 MB and is rejected by
+    Mosaic when the kernel sits inside a larger program, e.g. the
+    24-layer encoder loop).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
