@@ -87,14 +87,19 @@ def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first,
     shared by the resident-profile and HBM-profile kernels (identical
     math to ops/align._dp_row; the two cannot drift).
 
-    `segoff` (ragged lanes) carries seg_id·SEG_BIG per position: adding it
-    before the prefix-max sweeps and subtracting after makes the sweep a
-    SEGMENTED prefix max (an earlier segment's entries ride a smaller
-    offset, so they can never win inside a later segment — exact because
-    every quantity is an integer-valued f32 below 2^24). `sweep_to` then
-    bounds the sweeps at the longest segment instead of the lane width.
-    best_ref is [1, K] (running lane max) unsegmented, [Lt, K]
-    (per-position running max, segment-reduced after the row loop) ragged.
+    `segoff` (ragged lanes) carries seg_id·SEG_BIG per position, BAKED
+    into the DP state permanently: H is initialised to segoff and the SW
+    zero-floor becomes a segoff-floor, so H/F/best all ride their
+    segment's offset and the prefix-max sweeps are SEGMENTED for free
+    (an earlier segment's entries ride a smaller offset, so they can
+    never win inside a later segment — exact because every quantity is
+    an integer-valued f32 below 2^24). Baking removes the two per-row
+    [Lt, K] add/subtract passes the r5-initial version paid around the
+    sweeps; `_seg_reduce` subtracts the offset once per cell instead.
+    `sweep_to` bounds the sweeps at the longest segment instead of the
+    lane width. best_ref is [1, K] (running lane max) unsegmented,
+    [Lt, K] (per-position running max, segment-reduced after the row
+    loop, offset-carrying) ragged.
     """
     # query-padding rows (qi < 0) knock out every position — same
     # where the XLA kernels apply on `sub`
@@ -105,12 +110,13 @@ def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first,
         [jnp.zeros((1, k), jnp.float32), h_prev[:-1]], axis=0
     )
     f_new = jnp.maximum(h_prev - gap_first, f_prev - GAP_EXT)
-    h0 = jnp.maximum(jnp.maximum(diag + sub, f_new), 0.0)
+    h0 = jnp.maximum(
+        jnp.maximum(diag + sub, f_new),
+        jnp.float32(0.0) if segoff is None else segoff,
+    )
     # prefix max over the target axis (log2(Lt) shift+max sweeps):
     # E[j] = max_{i<j} H0[i] + i·ext − (gap_first − ext) − j·ext
     p = h0 + j_idx * GAP_EXT
-    if segoff is not None:
-        p = p + segoff
     s = 1
     while s < (lt if sweep_to is None else sweep_to):
         shifted = jnp.concatenate(
@@ -122,8 +128,6 @@ def _dp_step(plane, qi, h_ref, f_ref, best_ref, j_idx, lt, k, gap_first,
         [jnp.full((1, k), NEG, jnp.float32), p[:-1]], axis=0
     )
     e_new = pshift - (gap_first - GAP_EXT) - j_idx * GAP_EXT
-    if segoff is not None:
-        e_new = e_new - segoff
     h_new = jnp.maximum(h0, e_new)
     if segoff is None:
         best_ref[...] = jnp.maximum(
@@ -157,14 +161,18 @@ def _seg_init(plane0, lt, k):
 
 
 def _seg_reduce(best, segoff, segments, k):
-    """[Lt, K] per-position best → [1, S, K] per-segment scores (SW best
-    is ≥ 0 by definition, so empty/absent segments read 0)."""
+    """[Lt, K] offset-carrying per-position best → [1, S, K] per-segment
+    scores: mask to the segment's positions, max, subtract the baked
+    s_i·SEG_BIG offset, clamp at 0 (SW best is ≥ 0 by definition, so
+    empty/absent segments — whose masked max reads 0 — land on 0)."""
     outs = []
     for s_i in range(segments):
         m = segoff == (s_i * SEG_BIG)
-        outs.append(
+        outs.append(jnp.maximum(
             jnp.max(jnp.where(m, best, 0.0), axis=0, keepdims=True)
-        )
+            - s_i * SEG_BIG,
+            0.0,
+        ))
     return jnp.stack(outs, axis=1)  # [1, S, K]
 
 
@@ -176,13 +184,16 @@ def _sw_kernel(q_ref, profile_ref, out_ref, h_ref, f_ref, best_ref,
         jnp.float32
     )
 
-    h_ref[...] = jnp.zeros((lt, k), jnp.float32)
-    f_ref[...] = jnp.full((lt, k), NEG, jnp.float32)
-    best_ref[...] = jnp.zeros_like(best_ref)
     segoff = (
         None if segments == 1
         else _seg_init(profile_ref[0, 0], lt, k)
     )
+    # baked offsets: H starts AT its segment's floor (see _dp_step)
+    h_ref[...] = (
+        jnp.zeros((lt, k), jnp.float32) if segoff is None else segoff
+    )
+    f_ref[...] = jnp.full((lt, k), NEG, jnp.float32)
+    best_ref[...] = jnp.zeros_like(best_ref)
 
     g = pl.program_id(0)
 
@@ -230,6 +241,7 @@ def _sw_kernel_hbm(q_ref, profile_hbm, out_ref, h_ref, f_ref, best_ref,
         cp0.start()
         cp0.wait()
         segoff = _seg_init(plane_buf[0], lt, k)
+        h_ref[...] = segoff  # baked offsets: H starts at its floor
 
     def plane_copy(slot, r):
         qi = q_ref[g, r]
