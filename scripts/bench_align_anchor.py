@@ -65,6 +65,12 @@ def main():
     p.add_argument("--workload-only", action="store_true",
                    help="print the packing stats and exit (no device work"
                         " — plan tuning runs host-side)")
+    p.add_argument("--accounting", action="store_true",
+                   help="per-piece cold-pass accounting (VERDICT r4 #3):"
+                        " sync after EVERY block in pass 1 and split the"
+                        " wall into first-dispatch / per-program compile /"
+                        " repeat-dispatch. Run with"
+                        " KNN_TPU_COMPILE_CACHE=0 for a true cold pass.")
     args = p.parse_args()
 
     from knn_for_homology_tpu.ops.align import (
@@ -196,6 +202,43 @@ def main():
             key, jnp.asarray(ql), jnp.asarray(tl),
         ))
     jax.block_until_ready([a for s in staged for a in s[1:]])
+
+    if args.accounting:
+        # pass 1 only, synced per block: attribute the cold wall.
+        # "first" = the very first dispatch (backend init + first Mosaic
+        # program through the relay); "compile" = later first-occurrence
+        # blocks of each program shape; "dispatch" = repeat blocks of an
+        # already-compiled shape (pure relay round-trip + kernel run).
+        seen: set = set()
+        acc = {"first": 0.0, "compile": 0.0, "dispatch": 0.0}
+        counts = {"first": 0, "compile": 0, "dispatch": 0}
+        t_all = time.time()
+        for bi, (shape_key, key, ql, tl) in enumerate(staged):
+            t0 = time.time()
+            jax.block_until_ready(block_fn(*shape_key)(key, ql, tl))
+            dt = time.time() - t0
+            kind = ("first" if bi == 0
+                    else "compile" if shape_key not in seen
+                    else "dispatch")
+            acc[kind] += dt
+            counts[kind] += 1
+            seen.add(shape_key)
+        total = time.time() - t_all
+        print(json.dumps({
+            "case": "accounting",
+            "plan": "classic" if args.classic else "ragged",
+            "total_s": round(total, 1),
+            "first_dispatch_s": round(acc["first"], 1),
+            "program_compiles_s": round(acc["compile"], 1),
+            "program_compiles_n": counts["compile"],
+            "per_compile_s": round(
+                acc["compile"] / max(counts["compile"], 1), 2),
+            "repeat_dispatch_s": round(acc["dispatch"], 1),
+            "repeat_dispatch_n": counts["dispatch"],
+            "per_dispatch_ms": round(
+                1e3 * acc["dispatch"] / max(counts["dispatch"], 1), 1),
+        }), flush=True)
+        return
 
     for label in ("compile+run", "warm"):
         t0 = time.time()

@@ -102,6 +102,21 @@ def main():
     if selected("M2"):
         report("M2 q,k,v,o projections", timed(proj4, x), f_proj)
 
+    # M8: q,k,v as ONE [D, 3·H·dkv] dot (weights concatenated once) — if
+    # the wider matmul beats M2's per-projection rate, fusing the qkv
+    # weights in models/t5.py is worth the conversion-layer churn.
+    wqkv = jnp.concatenate([wq, wq, wq], axis=1)
+    jax.block_until_ready(wqkv)
+
+    def proj_qkv_fused(xc):
+        out = jnp.dot(xc, wqkv)
+        o = jnp.dot(out[:, : H * DKV], wq.T)
+        return (xc + o[:, :D]).astype(jnp.bfloat16)
+
+    if selected("M8"):
+        report("M8 fused qkv + o projection", timed(proj_qkv_fused, x),
+               f_proj)
+
     q = jax.random.normal(key, (B, H, L, DKV), jnp.bfloat16)
     mask = jnp.ones((B, L), bool)
     rel = jax.random.normal(key, (32, H), jnp.float32) * 0.1
