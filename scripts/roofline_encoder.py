@@ -105,6 +105,10 @@ def main():
     # M8: q,k,v as ONE [D, 3·H·dkv] dot (weights concatenated once) — if
     # the wider matmul beats M2's per-projection rate, fusing the qkv
     # weights in models/t5.py is worth the conversion-layer churn.
+    # MEASURED (r5, 128x256): REJECTED — M2's four separate dots run
+    # 160.6 TF/s (81.5% MXU) while the fused wide dot + slice measures
+    # 120.3 TF/s; the projections were never below the ceiling, so
+    # models/t5.py keeps per-projection einsums.
     wqkv = jnp.concatenate([wq, wq, wq], axis=1)
     jax.block_until_ready(wqkv)
 
