@@ -614,10 +614,23 @@ def _dma_block_one(
     vals, pos = jax.lax.top_k(cand_s, min(shortlist, cand_s.shape[1]))
     ids = jnp.take_along_axis(cand_i, pos, axis=1)
     if rescore:
+        # chunk the row-gather rescore over query sub-blocks exactly like
+        # the union path: the unchunked [qb, shortlist, d] dequant
+        # transient is ~8 GB at qb=4096/k=100/d=1024 (shortlist=4k) and
+        # OOMs one v5e chip alongside a 2^22-row slab table
+        s_actual = ids.shape[1]
         if rescore == "slab":
-            vals = _slab_rescore_rows(pv, sc, row_sq, slot, q, ids, metric)
+            vals = _map_rescore(
+                lambda qq, ii: _slab_rescore_rows(
+                    pv, sc, row_sq, slot, qq, ii, metric
+                ),
+                q, ids, s_actual * pv.shape[1] * 5,
+            )
         else:
-            vals = _exact_rescore_rows(db, q, ids, metric)
+            vals = _map_rescore(
+                lambda qq, ii: _exact_rescore_rows(db, qq, ii, metric),
+                q, ids, s_actual * db.shape[1] * 4,
+            )
         vals, order = jax.lax.top_k(vals, min(k_eff, vals.shape[1]))
         ids = jnp.take_along_axis(ids, order, axis=1)
     return vals, ids

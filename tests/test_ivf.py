@@ -372,6 +372,39 @@ def test_route_prefs_blocked_matches_oneshot():
 
 
 @pytest.mark.parametrize("lean", [False, True])
+def test_ivf_dma_chunked_rescore_matches_unchunked(lean, monkeypatch):
+    """The per-probe DMA path's rescore must ride _map_rescore too: the
+    unchunked [qb, shortlist, d] dequant transient is ~8 GB at
+    qb=4096/k=100/d=1024 and OOMed one v5e chip next to a 2^22-row slab
+    table (benchmarks/r5_campaigns.md §8). Forcing a tiny chunk budget,
+    results are BIT-identical to the single-dispatch rescore."""
+    from knn_for_homology_tpu.search import ivf as ivf_mod
+
+    db = _clustered(2048, 128, 32, seed=11)
+    q = jnp.asarray(db[:96])  # non-pow2 vs chunk: exercises the pad path
+    index = IVFIndex(
+        metric="cosine", nprobe=8, rescore_max_k=64, store_fp32=not lean
+    ).add(db)
+    k_eff, nprobe, rescore, shortlist, _, _ = index.plan_blocks(32)
+    assert rescore == ("slab" if lean else "db")
+    pv, pi, sc = index._packed
+    args = (
+        q, index._centroids, pv, pi, sc, index._row_sq_arg(),
+        index._db_arg(), index._slot_arg(),
+    )
+    kw = dict(
+        metric="cosine", k_eff=k_eff, nprobe=nprobe, shortlist=shortlist,
+        rescore=rescore, max_probe=index.MAX_PROBE_PER_CALL,
+        route_approx=index._route_approx(), interpret=True,
+    )
+    vals_1, ids_1 = ivf_mod._dma_block_one(*args, **kw)
+    monkeypatch.setattr(ivf_mod, "_RESCORE_CHUNK_BYTES", 1)
+    vals_c, ids_c = ivf_mod._dma_block_one(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(vals_c), np.asarray(vals_1))
+    np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_1))
+
+
+@pytest.mark.parametrize("lean", [False, True])
 def test_ivf_chunked_rescore_matches_unchunked(lean, monkeypatch):
     """_map_rescore (the qb-independent transient bound) must be a pure
     refactor: forcing a tiny chunk budget so the lax.map path runs at
